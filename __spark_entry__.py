@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship snap->tile pipeline on a synthetic
+interleaved-document table (the engine's input model, BASELINE.json
+input_hint) plus the sf0.001 parquet tables for the relational operators.
+
+``queries()``/``oracle_sql()`` cover the operator inventory from
+SURVEY.md section 2: tile assignment (T1/T3), extent aggregation (S7),
+PIP join / kNN (K16 engine-level), raster<->vector (T2), dedup /
+similarity / text-analysis training-data operators, and windowed event
+aggregation.  SQL-expressible operators carry a DuckDB oracle; kernel
+and LSH operators are rows-only by nature (the snap kernel's oracle is
+the reference's own golden tests, run bit-for-bit in tests/test_snap.py).
 """
 
 from __future__ import annotations
@@ -14,25 +20,112 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _synth_docs(spark: SparkSession, n: int = 400) -> DataFrame:
+    from texel_spark.sources.documents import synth_documents
+
+    return synth_documents(spark, n, partitions=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents -> snap kernel -> (zoom, tile_id) assignment."""
+    from texel_spark.grid.tms import load_embedded
+    from texel_spark.operators.snap_tiles import snap_pipeline_df
+
+    docs = _synth_docs(spark, 400)
+    rd = load_embedded("NetherlandsRDNewQuad")
+    return snap_pipeline_df(docs, rd, [5, 9, 12])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from texel_spark.grid.tms import load_embedded
+    from texel_spark.operators import dedup, events, multimodal, similarity, text
+    from texel_spark.operators import spatial_queries as sq
+    from texel_spark.operators.snap_tiles import snap_pipeline_df
+    from texel_spark.sources.documents import (
+        explode_spans,
+        reassemble_spans,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def snap_pipeline(spark, sf_dir):
+        rd = load_embedded("NetherlandsRDNewQuad")
+        return snap_pipeline_df(_synth_docs(spark, 400), rd, [5, 9, 12])
+
+    def span_roundtrip(spark, sf_dir):
+        docs = _synth_docs(spark, 400)
+        rt = reassemble_spans(explode_spans(docs))
+        import pyspark.sql.functions as F
+
+        a = docs.select("doc_id", F.md5(F.to_json("spans")).alias("sig"))
+        b = rt.select("doc_id", F.md5(F.to_json("spans")).alias("sig_rt"))
+        return (
+            a.join(b, "doc_id", "left")
+            .select(
+                F.count("*").alias("n_docs"),
+                F.sum((F.col("sig") != F.col("sig_rt")).cast("int")).alias("n_violations"),
+            )
+        )
+
+    return {
+        # spatial core
+        "tile_assign": lambda s, d: sq.tile_assign(_t(s, d, "events")),
+        "tile_extent_agg": lambda s, d: sq.tile_extent_agg(_t(s, d, "events")),
+        "pip_join": lambda s, d: sq.pip_join(_t(s, d, "events"), _t(s, d, "nation")),
+        "knn_join": lambda s, d: sq.knn_join(_t(s, d, "events"), _t(s, d, "nation")),
+        "rasterize": lambda s, d: sq.rasterize(_t(s, d, "nation")),
+        "vectorize_raster": lambda s, d: sq.vectorize_raster(_t(s, d, "nation")),
+        # flagship kernel pipeline (oracle = reference golden tests)
+        "snap_pipeline": snap_pipeline,
+        "span_roundtrip": span_roundtrip,
+        # dedup family
+        "dedup_exact": lambda s, d: dedup.exact_duplicates(_t(s, d, "documents")),
+        "dedup_fingerprint": lambda s, d: dedup.fingerprint_duplicates(_t(s, d, "documents")),
+        "ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_t(s, d, "documents")),
+        "minhash_lsh": lambda s, d: dedup.minhash_lsh_candidates(_t(s, d, "documents")),
+        "simhash_buckets": lambda s, d: dedup.simhash_buckets(_t(s, d, "documents")),
+        # text analysis
+        "text_stats": lambda s, d: text.text_stats(_t(s, d, "documents")),
+        "lang_stopword_score": lambda s, d: text.lang_stopword_score(_t(s, d, "documents")),
+        "doc_fingerprints": lambda s, d: text.doc_fingerprints(_t(s, d, "documents")),
+        # similarity search
+        "cosine_topk": lambda s, d: similarity.cosine_topk(_t(s, d, "embeddings")),
+        "ivf_cosine_topk": lambda s, d: similarity.ivf_cosine_topk(_t(s, d, "embeddings")),
+        "embedding_near_dup": lambda s, d: similarity.embedding_near_dup(_t(s, d, "embeddings")),
+        # events / windows
+        "hourly_rollup": lambda s, d: events.hourly_rollup(_t(s, d, "events")),
+        "sessionize": lambda s, d: events.sessionize(_t(s, d, "events")),
+        # multimodal plumbing (decode stubbed, schema/batch shape real)
+        "media_stats": lambda s, d: multimodal.media_stats(_synth_docs(s, 400)),
+        "media_features": lambda s, d: multimodal.extract_media_features(
+            multimodal.media_spans(_synth_docs(s, 400))
+        ).drop("embedding"),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from texel_spark.operators import dedup, events, text
+    from texel_spark.operators import spatial_queries as sq
+    from texel_spark.operators.similarity import cosine_topk_sql
+
+    return {
+        "tile_assign": sq.tile_assign_sql(),
+        "tile_extent_agg": sq.tile_extent_agg_sql(),
+        "pip_join": sq.pip_join_sql(),
+        "knn_join": sq.knn_join_sql(),
+        "rasterize": sq.rasterize_sql(),
+        "vectorize_raster": sq.vectorize_raster_sql(),
+        "dedup_exact": dedup.EXACT_DUPLICATES_SQL,
+        "dedup_fingerprint": dedup.FINGERPRINT_DUPLICATES_SQL,
+        "ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
+        "text_stats": text.text_stats_sql(),
+        "lang_stopword_score": text.lang_stopword_score_sql(),
+        "cosine_topk": cosine_topk_sql(),
+        "hourly_rollup": events.HOURLY_ROLLUP_SQL,
+        "sessionize": events.sessionize_sql(),
+        # snap_pipeline / span_roundtrip / minhash_lsh / simhash_buckets /
+        # doc_fingerprints / ivf_cosine_topk / embedding_near_dup /
+        # media_* are non-SQL-expressible (custom kernels) -> rows-only.
+    }

@@ -1,0 +1,110 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "tiles+join-rows/sec", "value": N, "unit": "sec"?, ...}
+
+The headline metric matches BASELINE.json: snapped-tile rows plus
+spatial-join output rows per second of end-to-end wall time for the
+spatial core (snap pipeline + PIP join + kNN).  Per-query wall times for
+the full operator sweep are reported under "queries".
+
+Scaling evidence (north rule): run twice with SPARK_GRAFT_CPUS=8 and =32
+on the same input; efficiency = (v32 / v8) / 4.  tools/bench_scaling.py
+automates that and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _materialize(df) -> int:
+    """Force full computation; returns row count (noop sink semantics)."""
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_docs = int(os.environ.get("SPARK_GRAFT_DOCS", str(max(400, int(40000 * sf)))))
+
+    from texel_spark.grid.tms import load_embedded
+    from texel_spark.kernel.snap import SnapConfig
+    from texel_spark.operators import dedup, events, similarity, text
+    from texel_spark.operators import spatial_queries as sq
+    from texel_spark.operators.snap_tiles import snap_pipeline_df
+    from texel_spark.session import get_spark
+    from texel_spark.sources.documents import synth_documents
+
+    spark = get_spark(
+        app_name="texel-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def t(name: str):
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    rd = load_embedded("NetherlandsRDNewQuad")
+    # enough input splits to keep every core busy in the kernel stage
+    docs = synth_documents(spark, n_docs, partitions=cpus * 3)
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    def run(name: str, df):
+        t0 = time.perf_counter()
+        n = _materialize(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
+
+    # headline spatial core
+    run("snap_pipeline", snap_pipeline_df(docs, rd, [5, 9, 12], SnapConfig(ignore_outside_grid=True)))
+    run("pip_join", sq.pip_join(t("events"), t("nation")))
+    run("knn_join", sq.knn_join(t("events"), t("nation")))
+    # operator sweep
+    run("tile_assign", sq.tile_assign(t("events")))
+    run("tile_extent_agg", sq.tile_extent_agg(t("events")))
+    run("rasterize", sq.rasterize(t("nation")))
+    run("dedup_exact", dedup.exact_duplicates(t("documents")))
+    run("ngram_jaccard", dedup.ngram_jaccard_pairs(t("documents")))
+    run("minhash_lsh", dedup.minhash_lsh_candidates(t("documents")))
+    run("text_stats", text.text_stats(t("documents")))
+    run("cosine_topk", similarity.cosine_topk(t("embeddings")))
+    run("hourly_rollup", events.hourly_rollup(t("events")))
+    run("sessionize", events.sessionize(t("events")))
+
+    headline = ["snap_pipeline", "pip_join", "knn_join"]
+    headline_rows = sum(rows[q] for q in headline)
+    headline_secs = sum(timings[q] for q in headline)
+    value = round(headline_rows / headline_secs, 1) if headline_secs else 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "tiles+join-rows/sec",
+                "value": value,
+                "unit": "rows/sec",
+                "queries": timings,
+                "rows": rows,
+                "sf": sf,
+                "cpus": cpus,
+                "n_docs": n_docs,
+                "headline_rows": headline_rows,
+                "headline_secs": round(headline_secs, 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

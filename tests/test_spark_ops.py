@@ -1,0 +1,212 @@
+"""Spark-level operator tests: documents invariant, pipeline goldens,
+dedup/similarity sanity against small Python oracles.
+
+One shared local session (module scope) keeps the suite fast.
+"""
+
+import math
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from texel_spark.grid.tms import load_embedded
+from texel_spark.kernel.snap import SnapConfig
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from texel_spark.session import get_spark
+
+    s = get_spark(app_name="texel-tests", master="local[4]", shuffle_partitions=4)
+    yield s
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from texel_spark.sources.documents import synth_documents
+
+    return synth_documents(spark, 120, partitions=3).cache()
+
+
+def test_documents_deterministic(spark):
+    from texel_spark.sources.documents import build_document, synth_documents
+
+    a = {r["doc_id"]: r["spans"] for r in synth_documents(spark, 30, partitions=1).collect()}
+    b = {r["doc_id"]: r["spans"] for r in synth_documents(spark, 30, partitions=7).collect()}
+    assert a == b  # partitioning-independent
+    assert build_document(0)[0] == "doc-000000000"
+
+
+def test_span_sequence_invariant(spark, docs):
+    from texel_spark.sources.documents import (
+        explode_spans,
+        reassemble_spans,
+        span_sequence_violations,
+    )
+
+    rt = reassemble_spans(explode_spans(docs))
+    assert span_sequence_violations(docs, rt) == 0
+
+
+def test_wkt_roundtrip():
+    from texel_spark.functions.wkt import parse_wkt, polygon_to_wkt
+
+    rings = [[(1.5, 2.25), (3.0, 2.25), (3.0, 4.0)], [(2.0, 2.5), (2.5, 2.5), (2.5, 3.0)]]
+    kind, parsed = parse_wkt(polygon_to_wkt(rings))
+    assert kind == "polygon"
+    # closing point is appended on encode
+    assert [r[: len(rings[i])] for i, r in enumerate(parsed)] == [
+        [tuple(p) for p in r] for r in rings
+    ]
+    kind, mp = parse_wkt("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((2 2, 3 2, 3 3, 2 2)))")
+    assert kind == "multipolygon" and len(mp) == 2
+
+
+def test_pipeline_contains_golden_snap(spark):
+    """Docs with the planted golden polygon must produce the reference's
+    exact snapped coordinates (snap_test.go:43-50) at zoom 14."""
+    from texel_spark.functions.wkt import parse_wkt
+    from texel_spark.operators.snap_tiles import snap_pipeline_df
+    from texel_spark.sources.documents import synth_documents
+
+    docs20 = synth_documents(spark, 21, partitions=2)  # doc 0 and 20 carry the golden polygon
+    rd = load_embedded("NetherlandsRDNewQuad")
+    out = snap_pipeline_df(docs20, rd, [14], SnapConfig(keep_points_and_lines=True, ignore_outside_grid=True))
+    rows = out.where("doc_id = 'doc-000000000'").collect()
+    assert rows, "golden doc produced no tiles"
+    _, rings = parse_wkt(rows[0]["wkt"])
+    want = [
+        (117220.2846875, 440135.9021875),
+        (117210.7165625, 440135.1015625),
+        (117211.1234375, 440130.1009375),
+        (117222.2009375, 440131.0065625),
+        (117221.9909375, 440133.5134375),
+        (117220.4946875, 440133.3821875),
+    ]
+    assert rings[0][:6] == want
+    # tile assignment must agree with FromNative on the snapped bbox
+    t = rd.from_native(14, want[0])
+    assert (rows[0]["zoom"], rows[0]["tx"], rows[0]["ty"]) == t
+
+
+def test_pipeline_pass_through_non_polygons(spark):
+    from texel_spark.operators.snap_tiles import snap_documents
+    from texel_spark.grid.tms import load_embedded
+
+    rd = load_embedded("NetherlandsRDNewQuad")
+    pdf = spark.createDataFrame(
+        [("d1", 0, "POINT (155000 463000)"), ("d2", 1, "LINESTRING (155000 463000, 156000 464000)")],
+        "doc_id string, span_idx int, wkt string",
+    )
+    rows = snap_documents(pdf, rd, [3, 7]).collect()
+    # untouched, fanned out to every zoom (processing.go:60-65)
+    assert len(rows) == 4
+    assert {(r["doc_id"], r["zoom"]) for r in rows} == {("d1", 3), ("d1", 7), ("d2", 3), ("d2", 7)}
+    assert all(r["geom_kind"] in ("point", "linestring") for r in rows)
+
+
+def test_multipolygon_regroup(spark):
+    from texel_spark.operators.snap_tiles import snap_documents
+
+    rd = load_embedded("NetherlandsRDNewQuad")
+    mp = (
+        "MULTIPOLYGON (((155000 463000, 155100 463000, 155100 463100, 155000 463100, 155000 463000)), "
+        "((156000 464000, 156100 464000, 156100 464100, 156000 464100, 156000 464000)))"
+    )
+    pdf = spark.createDataFrame([("d1", 0, mp)], "doc_id string, span_idx int, wkt string")
+    rows = snap_documents(pdf, rd, [10]).collect()
+    assert len(rows) == 1
+    assert rows[0]["geom_kind"] == "multipolygon"
+    assert rows[0]["n_polys"] == 2
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    from texel_spark.operators.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again until dawn breaks over the hill"
+    near = base.replace("dawn", "dusk")
+    far = "completely different content with no overlap whatsoever in any shingle of this text at all"
+    pdf = spark.createDataFrame(
+        [("a", base), ("b", near), ("c", far), ("d", base)], "doc_id string, text string"
+    )
+    cands = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(pdf).collect()}
+    assert ("a", "b") in cands and ("a", "d") in cands
+    assert ("a", "c") not in cands and ("b", "c") not in cands
+    pairs = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(pdf, threshold_num=1, threshold_den=2).collect()}
+    assert ("a", "d") in pairs and ("a", "b") in pairs
+
+
+def test_simhash_near_dup_buckets(spark):
+    from texel_spark.operators.dedup import simhash_buckets
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    pdf = spark.createDataFrame(
+        [("a", base), ("b", base + " lambda"), ("c", "xx yy zz qq ww ee rr tt uu ii")],
+        "doc_id string, text string",
+    )
+    rows = simhash_buckets(pdf).collect()
+    sh = {r["doc_id"]: r["simhash"] for r in rows}
+    ham_ab = bin((sh["a"] ^ sh["b"]) & ((1 << 64) - 1)).count("1")
+    ham_ac = bin((sh["a"] ^ sh["c"]) & ((1 << 64) - 1)).count("1")
+    assert ham_ab < ham_ac
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    from texel_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(30, 16)).astype("float32")
+    pdf = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)], "vec_id long, embedding array<float>"
+    )
+    got = {}
+    for r in cosine_topk(pdf, k=3, n_queries=5).collect():
+        got.setdefault(r["query_id"], []).append((r["rnk"], r["neighbor_id"]))
+    v = vecs.astype("float64")
+    norms = np.linalg.norm(v, axis=1)
+    sims = (v @ v.T) / np.outer(norms, norms)
+    for q in range(5):
+        order = sorted(
+            (i for i in range(30) if i != q),
+            key=lambda i: (-sims[q, i], i),
+        )[:3]
+        assert [n for _, n in sorted(got[q])] == order
+
+
+def test_media_features_stub(spark, docs):
+    from texel_spark.operators.multimodal import extract_media_features, media_spans
+
+    m = media_spans(docs)
+    feats = extract_media_features(m)
+    rows = feats.collect()
+    assert len(rows) == m.count()
+    for r in rows[:5]:
+        assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
+        assert len(r["embedding"]) == 16
+        assert all(0.0 <= x <= 1.0 and not math.isnan(x) for x in r["embedding"])
+
+
+def test_pip_join_matches_bruteforce(spark):
+    from texel_spark.operators.spatial_queries import (
+        pip_join,
+        points_from_events,
+        triangles_from_nation,
+    )
+
+    events = spark.range(500).selectExpr("id as event_id")
+    nation = spark.range(25).selectExpr("id as n_nationkey")
+    got = {(r["event_id"], r["nationkey"]) for r in pip_join(events, nation).collect()}
+    pts = points_from_events(events).collect()
+    tris = triangles_from_nation(nation).collect()
+    want = set()
+    for p in pts:
+        for t in tris:
+            d1 = (p["px"] - t["bx"]) * (t["ay"] - t["by"]) - (t["ax"] - t["bx"]) * (p["py"] - t["by"])
+            d2 = (p["px"] - t["cx2"]) * (t["by"] - t["cy2"]) - (t["bx"] - t["cx2"]) * (p["py"] - t["cy2"])
+            d3 = (p["px"] - t["ax"]) * (t["cy2"] - t["ay"]) - (t["cx2"] - t["ax"]) * (p["py"] - t["ay"])
+            if (d1 < 0 and d2 < 0 and d3 < 0) or (d1 > 0 and d2 > 0 and d3 > 0):
+                want.add((p["event_id"], t["nationkey"]))
+    assert got == want

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (JVM-side fold, no Python
+in the hot path); the IVF-style coarse-quantizer variant is the scale
+path: cluster-assign once, then search only the probed cells - the
+standard recipe for ANN over billions of vectors.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 20) -> DataFrame:
+    """Exact brute-force cosine top-k: queries (small) broadcast against
+    the corpus; similarity is a JVM-side fold over double arrays.
+
+    Output is rank-only (ints) so the oracle comparison has no float
+    columns; ties broken by neighbour id.
+    """
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("c"))
+    sim = _dot(F.col("q"), F.col("c")) / (F.sqrt(_dot(F.col("q"), F.col("q"))) * F.sqrt(_dot(F.col("c"), F.col("c"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
+def cosine_topk_sql(k: int = 5, n_queries: int = 20) -> str:
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+  FROM emb q CROSS JOIN emb c
+  WHERE q.vec_id < {n_queries} AND c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM pairs
+) WHERE rnk <= {k}
+"""
+
+
+@pandas_udf(LongType())
+def _grid_cell(v: pd.Series) -> pd.Series:
+    """Coarse quantizer: sign bits of the first 8 dims -> 256 cells.
+
+    Deterministic, data-independent (no training step needed in this
+    sandbox); at real scale swap for k-means centroids - the plumbing
+    (cell assign -> per-cell search) is identical.
+    """
+    import numpy as np
+
+    out = np.empty(len(v), dtype=np.int64)
+    for i, arr in enumerate(v):
+        a = np.asarray(arr[:8], dtype=np.float64)
+        bits = (a > 0).astype(np.int64)
+        out[i] = int((bits << np.arange(8)).sum())
+    return pd.Series(out)
+
+
+def ivf_cosine_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 20) -> DataFrame:
+    """IVF-bucketed ANN: search only the query's coarse cell.
+
+    Recall < 1 by construction (ANN); the equi-join on cell replaces the
+    cross join, so cost drops from O(Q x N) to O(Q x N / cells).
+    """
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v")).withColumn(
+        "cell", _grid_cell("v")
+    )
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), "cell"
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("c"), "cell")
+    sim = _dot(F.col("q"), F.col("c")) / (F.sqrt(_dot(F.col("q"), F.col("q"))) * F.sqrt(_dot(F.col("c"), F.col("c"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        queries.join(corpus, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
+def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within coarse cells."""
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v")).withColumn(
+        "cell", _grid_cell("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cell")
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cell")
+    sim = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", sim)
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim_r"))
+    )

@@ -1,0 +1,276 @@
+"""The flagship pipeline: documents -> snap -> tile keys -> partitioned sink.
+
+Physical plan (SURVEY.md section 4) - one shuffle total:
+
+    scan documents (parquet/Iceberg, column-pruned)          [narrow]
+    -> posexplode spans, filter kind='geom'                  [narrow]
+    -> snap kernel (mapInPandas, Arrow batches, int64 math)  [narrow, CPU]
+    -> per-zoom covering-tile expansion + Morton tile_id     [narrow, JVM + vectorized numpy]
+    -> repartition(zoom, salted tile_id)                     [THE shuffle]
+    -> partitioned write + per-partition metrics/lineage     [sink]
+
+Scale notes
+-----------
+* The snap kernel is strictly per-feature, so the whole stage before the
+  shuffle is narrow: Spark fans it out over input splits with no data
+  exchange; 1000 executors scale linearly (reference kernel is
+  single-threaded per table: processing/processing.go:22-76).
+* The one shuffle is keyed by (zoom, tile_id) with an explicit salt -
+  dense urban tiles are Zipfian hot keys, and AQE's skew splitting
+  cannot split a skewed *write* partition, salting can.
+* Grid metadata (a few KB) is broadcast, never joined.
+* Resume: the sink records a manifest of completed zooms; re-running
+  skips them (idempotent dynamic-overwrite per zoom), mirroring the
+  reference's paged/transactional writes (processing/gpkg/gpkg.go:205-272).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..grid.tms import TileMatrixSet, TOP_LEFT
+from ..kernel.snap import SnapConfig, snap_polygon
+from ..sources.documents import geometry_spans
+
+SNAPPED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("span_idx", IntegerType()),
+        StructField("zoom", IntegerType()),
+        StructField("geom_kind", StringType()),
+        StructField("wkt", StringType()),
+        StructField("minx", DoubleType()),
+        StructField("miny", DoubleType()),
+        StructField("maxx", DoubleType()),
+        StructField("maxy", DoubleType()),
+        StructField("n_polys", IntegerType()),
+    ]
+)
+
+
+def snap_documents(
+    docs: DataFrame,
+    tms: TileMatrixSet,
+    tm_ids: list[int],
+    config: SnapConfig | None = None,
+) -> DataFrame:
+    """Geometry spans -> snapped geometries, one row per (feature, zoom).
+
+    Non-polygon geometries pass through unchanged to every zoom and
+    multipolygons are split/snapped/regrouped, exactly like the
+    reference's type dispatch (processing/processing.go:22-76).
+    """
+    spark = docs.sparkSession
+    config = config or SnapConfig(keep_points_and_lines=False, ignore_outside_grid=True)
+    bc = spark.sparkContext.broadcast((tms, tuple(tm_ids), config))
+
+    def kernel(batches):
+        import pandas as pd
+
+        from ..functions.wkt import (
+            geometry_to_wkt,
+            multipolygon_to_wkt,
+            parse_wkt,
+            polygon_bbox,
+            polygon_to_wkt,
+        )
+
+        tms_, tm_ids_, cfg = bc.value
+        tm_ids_ = list(tm_ids_)
+        out = {name: [] for name in SNAPPED_SCHEMA.fieldNames()}
+
+        def emit(doc_id, span_idx, zoom, kind, wkt, bbox, n_polys):
+            out["doc_id"].append(doc_id)
+            out["span_idx"].append(span_idx)
+            out["zoom"].append(zoom)
+            out["geom_kind"].append(kind)
+            out["wkt"].append(wkt)
+            out["minx"].append(bbox[0])
+            out["miny"].append(bbox[1])
+            out["maxx"].append(bbox[2])
+            out["maxy"].append(bbox[3])
+            out["n_polys"].append(n_polys)
+
+        for pdf in batches:
+            for doc_id, span_idx, wkt in zip(pdf["doc_id"], pdf["span_idx"], pdf["wkt"]):
+                kind, coords = parse_wkt(wkt)
+                if kind == "polygon":
+                    per_zoom = snap_polygon(coords, tms_, tm_ids_, cfg)
+                    for zoom, polys in per_zoom.items():
+                        if not polys:
+                            continue
+                        w = polygon_to_wkt(polys[0]) if len(polys) == 1 else multipolygon_to_wkt(polys)
+                        bbox = polygon_bbox([r for p in polys for r in p])
+                        emit(doc_id, int(span_idx), zoom, "polygon" if len(polys) == 1 else "multipolygon", w, bbox, len(polys))
+                elif kind == "multipolygon":
+                    # decompose, snap per member, regroup per zoom (D4)
+                    regrouped: dict[int, list] = {}
+                    for member in coords:
+                        for zoom, polys in snap_polygon(member, tms_, tm_ids_, cfg).items():
+                            regrouped.setdefault(zoom, []).extend(polys)
+                    for zoom, polys in regrouped.items():
+                        if not polys:
+                            continue
+                        bbox = polygon_bbox([r for p in polys for r in p])
+                        emit(doc_id, int(span_idx), zoom, "multipolygon", multipolygon_to_wkt(polys), bbox, len(polys))
+                else:
+                    # non-polygon: pass through unchanged to every zoom
+                    if kind == "point":
+                        bbox = (coords[0], coords[1], coords[0], coords[1])
+                    else:
+                        xs = [p[0] for p in coords]
+                        ys = [p[1] for p in coords]
+                        bbox = (min(xs), min(ys), max(xs), max(ys))
+                    w = geometry_to_wkt(kind, coords)
+                    for zoom in tm_ids_:
+                        emit(doc_id, int(span_idx), zoom, kind, w, bbox, 0)
+            yield pd.DataFrame(out)
+            out = {name: [] for name in SNAPPED_SCHEMA.fieldNames()}
+
+    return docs.mapInPandas(kernel, schema=SNAPPED_SCHEMA)
+
+
+def zoom_params_df(spark: SparkSession, tms: TileMatrixSet, tm_ids: list[int]) -> DataFrame:
+    """Tiny per-zoom grid constants table, always broadcast."""
+    rows = []
+    for z in tm_ids:
+        tm = tms.tile_matrices[z]
+        ox, oy = tms.to_xy_point(tm.point_of_origin)
+        rows.append(
+            (
+                z,
+                float(ox),
+                float(oy),
+                float(tm.tile_width) * tm.cell_size,
+                float(tm.tile_height) * tm.cell_size,
+                tm.matrix_width,
+                tm.matrix_height,
+                tm.corner_of_origin == TOP_LEFT,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "zoom int, ox double, oy double, tsx double, tsy double, mw int, mh int, top_left boolean"
+    )
+
+
+def morton_udf():
+    """Vectorized Morton interleave (numpy bit ops, no per-row Python)."""
+    from ..functions.udfs import morton_z
+
+    return morton_z
+
+
+def assign_tiles(snapped: DataFrame, tms: TileMatrixSet, tm_ids: list[int]) -> DataFrame:
+    """One output row per (feature, zoom, covering tile).
+
+    Pure column math (tms20.FromNative semantics, tms20.go:664-712) over
+    the snapped bbox, broadcast-joined with the per-zoom constants; tile
+    range explode is bounded by each geometry's footprint.
+    """
+    spark = snapped.sparkSession
+    params = F.broadcast(zoom_params_df(spark, tms, tm_ids))
+    df = snapped.join(params, "zoom")
+
+    tx0 = F.greatest(F.lit(0), F.floor((F.col("minx") - F.col("ox")) / F.col("tsx")).cast("int"))
+    tx1 = F.least(F.col("mw") - 1, F.floor((F.col("maxx") - F.col("ox")) / F.col("tsx")).cast("int"))
+    ty_top = F.when(F.col("top_left"), (F.col("oy") - F.col("maxy")) / F.col("tsy")).otherwise(
+        (F.col("miny") - F.col("oy")) / F.col("tsy")
+    )
+    ty_bot = F.when(F.col("top_left"), (F.col("oy") - F.col("miny")) / F.col("tsy")).otherwise(
+        (F.col("maxy") - F.col("oy")) / F.col("tsy")
+    )
+    ty0 = F.greatest(F.lit(0), F.floor(ty_top).cast("int"))
+    ty1 = F.least(F.col("mh") - 1, F.floor(ty_bot).cast("int"))
+
+    df = (
+        df.withColumn("tx", F.explode(F.sequence(tx0, tx1)))
+        .withColumn("ty", F.explode(F.sequence(ty0, ty1)))
+        .withColumn("tile_id", morton_udf()(F.col("tx").cast("long"), F.col("ty").cast("long")))
+    )
+    return df.select(
+        "doc_id", "span_idx", "zoom", "tx", "ty", "tile_id", "geom_kind", "wkt", "n_polys"
+    )
+
+
+def run_pipeline(
+    docs: DataFrame,
+    tms: TileMatrixSet,
+    tm_ids: list[int],
+    output_dir: str,
+    config: SnapConfig | None = None,
+    salt_buckets: int = 8,
+    resume: bool = True,
+) -> dict:
+    """End-to-end job with salted shuffle, metrics and resumable manifest.
+
+    Returns the run summary (also persisted to <output_dir>/manifest.json).
+    """
+    spark = docs.sparkSession
+    manifest_path = os.path.join(output_dir, "manifest.json")
+    done_zooms: set[int] = set()
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            done_zooms = set(json.load(f).get("completed_zooms", []))
+    todo = [z for z in tm_ids if z not in done_zooms]
+    summary = {"completed_zooms": sorted(done_zooms), "metrics": {}}
+    if not todo:
+        return summary
+
+    tiled = assign_tiles(snap_documents(geometry_spans(docs), tms, todo, config), tms, todo)
+    # explicit salt: a hot tile's rows spread over salt_buckets writer tasks
+    salted = tiled.withColumn("salt", F.pmod(F.xxhash64("doc_id", "span_idx"), F.lit(salt_buckets)))
+    shuffled = salted.repartition(F.col("zoom"), F.col("tile_id"), F.col("salt")).drop("salt")
+    (
+        shuffled.write.mode("overwrite")
+        .partitionBy("zoom")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(output_dir, "tiles"))
+    )
+
+    out = spark.read.parquet(os.path.join(output_dir, "tiles"))
+    # per-partition lineage + row-count metrics (north rule): replaces the
+    # reference's log counters (processing.go:23,70-75) and running extent
+    # (gpkg.go:254-270)
+    metrics = (
+        out.groupBy("zoom", "tile_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("tx").alias("min_tx"),
+            F.max("tx").alias("max_tx"),
+            F.min("ty").alias("min_ty"),
+            F.max("ty").alias("max_ty"),
+        )
+        .withColumn("run_ts", F.lit(int(time.time())))
+    )
+    metrics.write.mode("overwrite").parquet(os.path.join(output_dir, "metrics"))
+
+    per_zoom = {int(r["zoom"]): int(r["n"]) for r in out.groupBy("zoom").agg(F.count("*").alias("n")).collect()}
+    summary = {
+        "completed_zooms": sorted(done_zooms | set(todo)),
+        "metrics": {"rows_per_zoom": per_zoom},
+    }
+    os.makedirs(output_dir, exist_ok=True)
+    with open(manifest_path, "w") as f:
+        json.dump(summary, f)
+    return summary
+
+
+def snap_pipeline_df(
+    docs: DataFrame, tms: TileMatrixSet, tm_ids: list[int], config: SnapConfig | None = None
+) -> DataFrame:
+    """The pipeline as a pure DataFrame (no sink) for entry()/bench."""
+    return assign_tiles(snap_documents(geometry_spans(docs), tms, tm_ids, config), tms, tm_ids)

@@ -1,0 +1,357 @@
+"""Engine-level spatial query operators: tile assignment, PIP join, kNN,
+rasterize/vectorize.
+
+These are the DataFrame-level counterparts of the reference's per-feature
+kernels (SURVEY.md section 2.4 and the north rule's engine extensions):
+tile-key assignment is pure column math + vectorized Morton; the PIP join
+is a cell-key equi-join with an Arrow-batched even-odd refine; kNN is a
+broadcast candidate join + window top-k.
+
+Deterministic derived tables (points from ``events``, triangles from
+``nation``) exist so every operator has a DuckDB-SQL oracle over the
+shared test data: the derivation arithmetic is plain SQL in both engines.
+The fractional offsets (+0.33/+0.25) are chosen so derived points can
+never be exactly on a triangle edge or vertex scanline, keeping the
+even-odd refine and the oracle's strict sign test equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..grid.tms import TileMatrixSet, load_embedded
+
+# NetherlandsRDNewQuad constants used by the oracle SQL too
+RD_ORIGIN_X = -285401.92
+RD_ORIGIN_Y = 903401.92
+RD_MIN_Y = 22598.08
+RD_SPAN = 880803.84
+
+
+def points_from_events(events: DataFrame) -> DataFrame:
+    """Deterministic RD-extent points derived from the events table."""
+    return events.select(
+        "event_id",
+        (F.lit(RD_ORIGIN_X + 0.33) + ((F.col("event_id") * F.lit(2654435761)) % F.lit(880000)).cast("double")).alias("px"),
+        (F.lit(RD_MIN_Y + 0.25) + ((F.col("event_id") * F.lit(7919)) % F.lit(880000)).cast("double")).alias("py"),
+    )
+
+
+POINTS_FROM_EVENTS_SQL = f"""
+SELECT event_id,
+       {RD_ORIGIN_X + 0.33} + CAST((event_id * 2654435761) % 880000 AS DOUBLE) AS px,
+       {RD_MIN_Y + 0.25} + CAST((event_id * 7919) % 880000 AS DOUBLE) AS py
+FROM events
+"""
+
+
+def triangles_from_nation(nation: DataFrame) -> DataFrame:
+    """25 deterministic triangles in the RD extent, one per nation."""
+    cx = F.lit(RD_ORIGIN_X + 0.08) + (((F.col("n_nationkey") * 37 + 11) % 800) * F.lit(1000)).cast("double")
+    cy = F.lit(RD_MIN_Y + 0.08) + (((F.col("n_nationkey") * 53 + 7) % 800) * F.lit(1000)).cast("double")
+    r = (F.lit(5000) + (F.col("n_nationkey") % 7) * F.lit(3000)).cast("double")
+    return nation.select(
+        F.col("n_nationkey").alias("nationkey"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+        r.alias("r"),
+        cx.alias("ax"), (cy + r).alias("ay"),
+        (cx - r).alias("bx"), (cy - r).alias("by"),
+        (cx + r).alias("cx2"), (cy - r).alias("cy2"),
+    )
+
+
+TRIANGLES_FROM_NATION_SQL = f"""
+SELECT n_nationkey AS nationkey,
+       cx, cy, r,
+       cx AS ax, cy + r AS ay,
+       cx - r AS bx, cy - r AS "by",
+       cx + r AS cx2, cy - r AS cy2
+FROM (
+  SELECT n_nationkey,
+         {RD_ORIGIN_X + 0.08} + CAST(((n_nationkey * 37 + 11) % 800) * 1000 AS DOUBLE) AS cx,
+         {RD_MIN_Y + 0.08} + CAST(((n_nationkey * 53 + 7) % 800) * 1000 AS DOUBLE) AS cy,
+         CAST(5000 + (n_nationkey % 7) * 3000 AS DOUBLE) AS r
+  FROM nation
+)
+"""
+
+
+def tile_size(zoom: int, tms: TileMatrixSet | None = None) -> float:
+    tms = tms or load_embedded("NetherlandsRDNewQuad")
+    tm = tms.tile_matrices[zoom]
+    return float(tm.tile_width) * tm.cell_size
+
+
+def tile_assign(events: DataFrame, zoom: int = 8) -> DataFrame:
+    """T1 point->tile assignment + per-tile counts (column math only;
+    tms20.go:664-712 semantics for a topLeft grid)."""
+    ts = tile_size(zoom)
+    pts = points_from_events(events)
+    return (
+        pts.select(
+            F.lit(zoom).alias("zoom"),
+            F.floor((F.col("px") - F.lit(RD_ORIGIN_X)) / F.lit(ts)).alias("tx"),
+            F.floor((F.lit(RD_ORIGIN_Y) - F.col("py")) / F.lit(ts)).alias("ty"),
+        )
+        .groupBy("zoom", "tx", "ty")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def tile_assign_sql(zoom: int = 8) -> str:
+    ts = tile_size(zoom)
+    return f"""
+WITH pts AS ({POINTS_FROM_EVENTS_SQL})
+SELECT {zoom} AS zoom,
+       CAST(FLOOR((px - ({RD_ORIGIN_X})) / {ts!r}) AS BIGINT) AS tx,
+       CAST(FLOOR(({RD_ORIGIN_Y} - py) / {ts!r}) AS BIGINT) AS ty,
+       COUNT(*) AS n_points
+FROM pts GROUP BY 1, 2, 3
+"""
+
+
+def tile_extent_agg(events: DataFrame, zoom: int = 5) -> DataFrame:
+    """S7 running-extent aggregate per tile (gpkg.go:254-270 as a
+    min/max groupBy; partial aggregation is map-side for free)."""
+    ts = tile_size(zoom)
+    pts = points_from_events(events)
+    return (
+        pts.select(
+            F.lit(zoom).alias("zoom"),
+            F.floor((F.col("px") - F.lit(RD_ORIGIN_X)) / F.lit(ts)).alias("tx"),
+            F.floor((F.lit(RD_ORIGIN_Y) - F.col("py")) / F.lit(ts)).alias("ty"),
+            "px",
+            "py",
+        )
+        .groupBy("zoom", "tx", "ty")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("px").alias("min_x"),
+            F.min("py").alias("min_y"),
+            F.max("px").alias("max_x"),
+            F.max("py").alias("max_y"),
+        )
+    )
+
+
+def tile_extent_agg_sql(zoom: int = 5) -> str:
+    ts = tile_size(zoom)
+    return f"""
+WITH pts AS ({POINTS_FROM_EVENTS_SQL})
+SELECT {zoom} AS zoom,
+       CAST(FLOOR((px - ({RD_ORIGIN_X})) / {ts!r}) AS BIGINT) AS tx,
+       CAST(FLOOR(({RD_ORIGIN_Y} - py) / {ts!r}) AS BIGINT) AS ty,
+       COUNT(*) AS n_points,
+       MIN(px) AS min_x, MIN(py) AS min_y, MAX(px) AS max_x, MAX(py) AS max_y
+FROM pts GROUP BY 1, 2, 3
+"""
+
+
+def pip_join(events: DataFrame, nation: DataFrame, zoom: int = 7) -> DataFrame:
+    """Point-in-polygon join: cell-key equi-join + refine.
+
+    Plan shape (the scale path): polygons fan out to their covering tiles
+    (bounded explode), points map to exactly one tile, the join is a hash
+    equi-join on the tile key (broadcastable when the polygon side is
+    small), and the exact even-odd test refines candidates.  No cross
+    join ever materializes.  Refine here is JVM column math (sign tests)
+    - the generic WKT refine lives in the snap pipeline kernel.
+    """
+    ts = tile_size(zoom)
+    tris = triangles_from_nation(nation)
+    # polygon -> covering tile range (bbox of the triangle)
+    tri_tiles = (
+        tris.withColumn("tx0", F.floor((F.col("bx") - F.lit(RD_ORIGIN_X)) / F.lit(ts)))
+        .withColumn("tx1", F.floor((F.col("cx2") - F.lit(RD_ORIGIN_X)) / F.lit(ts)))
+        .withColumn("ty0", F.floor((F.lit(RD_ORIGIN_Y) - F.col("ay")) / F.lit(ts)))
+        .withColumn("ty1", F.floor((F.lit(RD_ORIGIN_Y) - F.col("by")) / F.lit(ts)))
+        .withColumn("tx", F.explode(F.sequence("tx0", "tx1")))
+        .withColumn("ty", F.explode(F.sequence("ty0", "ty1")))
+        .select("nationkey", "ax", "ay", "bx", "by", "cx2", "cy2", "tx", "ty")
+    )
+    pts = points_from_events(events).select(
+        "event_id",
+        "px",
+        "py",
+        F.floor((F.col("px") - F.lit(RD_ORIGIN_X)) / F.lit(ts)).alias("tx"),
+        F.floor((F.lit(RD_ORIGIN_Y) - F.col("py")) / F.lit(ts)).alias("ty"),
+    )
+    cand = pts.join(F.broadcast(tri_tiles), ["tx", "ty"])
+    d1 = (F.col("px") - F.col("bx")) * (F.col("ay") - F.col("by")) - (F.col("ax") - F.col("bx")) * (F.col("py") - F.col("by"))
+    d2 = (F.col("px") - F.col("cx2")) * (F.col("by") - F.col("cy2")) - (F.col("bx") - F.col("cx2")) * (F.col("py") - F.col("cy2"))
+    d3 = (F.col("px") - F.col("ax")) * (F.col("cy2") - F.col("ay")) - (F.col("cx2") - F.col("ax")) * (F.col("py") - F.col("ay"))
+    inside = ((d1 < 0) & (d2 < 0) & (d3 < 0)) | ((d1 > 0) & (d2 > 0) & (d3 > 0))
+    return cand.where(inside).select("event_id", "nationkey")
+
+
+def pip_join_sql() -> str:
+    return f"""
+WITH pts AS ({POINTS_FROM_EVENTS_SQL}),
+tris AS ({TRIANGLES_FROM_NATION_SQL})
+SELECT p.event_id, t.nationkey
+FROM pts p CROSS JOIN tris t
+WHERE (
+  ((p.px - t.bx) * (t.ay - t."by") - (t.ax - t.bx) * (p.py - t."by") < 0 AND
+   (p.px - t.cx2) * (t."by" - t.cy2) - (t.bx - t.cx2) * (p.py - t.cy2) < 0 AND
+   (p.px - t.ax) * (t.cy2 - t.ay) - (t.cx2 - t.ax) * (p.py - t.ay) < 0)
+  OR
+  ((p.px - t.bx) * (t.ay - t."by") - (t.ax - t.bx) * (p.py - t."by") > 0 AND
+   (p.px - t.cx2) * (t."by" - t.cy2) - (t.bx - t.cx2) * (p.py - t.cy2) > 0 AND
+   (p.px - t.ax) * (t.cy2 - t.ay) - (t.cx2 - t.ax) * (p.py - t.ay) > 0)
+)
+"""
+
+
+def knn_join(events: DataFrame, nation: DataFrame, k: int = 3, n_queries: int = 2000) -> DataFrame:
+    """kNN lookup: each query point's k nearest triangle centroids.
+
+    The small side broadcasts; distance is JVM column math; top-k is a
+    window (map-side partial top-k via AQE).  For a large right side the
+    cell-neighborhood candidate join in pip_join is the scale path.
+    """
+    pts = points_from_events(events).where(F.col("event_id") < n_queries)
+    cents = triangles_from_nation(nation).select("nationkey", "cx", "cy")
+    d = (F.col("px") - F.col("cx")) * (F.col("px") - F.col("cx")) + (F.col("py") - F.col("cy")) * (F.col("py") - F.col("cy"))
+    w = Window.partitionBy("event_id").orderBy(F.col("dist").asc(), F.col("nationkey").asc())
+    return (
+        pts.crossJoin(F.broadcast(cents))
+        .withColumn("dist", d)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("event_id", "nationkey", "rnk")
+    )
+
+
+def knn_join_sql(k: int = 3, n_queries: int = 2000) -> str:
+    return f"""
+WITH pts AS ({POINTS_FROM_EVENTS_SQL}),
+cents AS (SELECT nationkey, cx, cy FROM ({TRIANGLES_FROM_NATION_SQL}))
+SELECT event_id, nationkey, CAST(rnk AS INT) AS rnk FROM (
+  SELECT p.event_id, c.nationkey,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.event_id
+           ORDER BY (p.px - c.cx) * (p.px - c.cx) + (p.py - c.cy) * (p.py - c.cy) ASC,
+                    c.nationkey ASC
+         ) AS rnk
+  FROM pts p CROSS JOIN cents c
+  WHERE p.event_id < {n_queries}
+)
+WHERE rnk <= {k}
+"""
+
+
+def rasterize(nation: DataFrame, zoom: int = 5, pixels: int = 8) -> DataFrame:
+    """Raster<->vector conversion, forward direction (T2 georeferencing,
+    tms20.go:714-747): sample each triangle's covering tiles on a
+    pixels x pixels grid and emit interior pixels.
+
+    Output row = (nationkey, zoom, tx, ty, ix, iy): a sparse raster mask.
+    """
+    ts = tile_size(zoom)
+    cell = ts / pixels
+    tris = triangles_from_nation(nation)
+    tri_tiles = (
+        tris.withColumn("tx0", F.floor((F.col("bx") - F.lit(RD_ORIGIN_X)) / F.lit(ts)))
+        .withColumn("tx1", F.floor((F.col("cx2") - F.lit(RD_ORIGIN_X)) / F.lit(ts)))
+        .withColumn("ty0", F.floor((F.lit(RD_ORIGIN_Y) - F.col("ay")) / F.lit(ts)))
+        .withColumn("ty1", F.floor((F.lit(RD_ORIGIN_Y) - F.col("by")) / F.lit(ts)))
+        .withColumn("tx", F.explode(F.sequence("tx0", "tx1")))
+        .withColumn("ty", F.explode(F.sequence("ty0", "ty1")))
+        .withColumn("ix", F.explode(F.sequence(F.lit(0), F.lit(pixels - 1))))
+        .withColumn("iy", F.explode(F.sequence(F.lit(0), F.lit(pixels - 1))))
+    )
+    # pixel centre in native CRS (topLeft grid: y decreases with iy)
+    px = F.lit(RD_ORIGIN_X) + F.col("tx") * F.lit(ts) + (F.col("ix") + F.lit(0.5)) * F.lit(cell)
+    py = F.lit(RD_ORIGIN_Y) - F.col("ty") * F.lit(ts) - (F.col("iy") + F.lit(0.5)) * F.lit(cell)
+    g = tri_tiles.withColumn("px", px).withColumn("py", py)
+    d1 = (F.col("px") - F.col("bx")) * (F.col("ay") - F.col("by")) - (F.col("ax") - F.col("bx")) * (F.col("py") - F.col("by"))
+    d2 = (F.col("px") - F.col("cx2")) * (F.col("by") - F.col("cy2")) - (F.col("bx") - F.col("cx2")) * (F.col("py") - F.col("cy2"))
+    d3 = (F.col("px") - F.col("ax")) * (F.col("cy2") - F.col("ay")) - (F.col("cx2") - F.col("ax")) * (F.col("py") - F.col("ay"))
+    inside = ((d1 < 0) & (d2 < 0) & (d3 < 0)) | ((d1 > 0) & (d2 > 0) & (d3 > 0))
+    return g.where(inside).select(
+        "nationkey", F.lit(zoom).alias("zoom"), "tx", "ty", "ix", "iy"
+    )
+
+
+def rasterize_sql(zoom: int = 5, pixels: int = 8) -> str:
+    ts = tile_size(zoom)
+    cell = ts / pixels
+    return f"""
+WITH tris AS ({TRIANGLES_FROM_NATION_SQL}),
+tiles AS (
+  SELECT t.*, tx.tx, ty.ty
+  FROM tris t,
+       LATERAL (SELECT UNNEST(range(CAST(FLOOR((t.bx - ({RD_ORIGIN_X})) / {ts!r}) AS BIGINT),
+                                    CAST(FLOOR((t.cx2 - ({RD_ORIGIN_X})) / {ts!r}) AS BIGINT) + 1)) AS tx) tx,
+       LATERAL (SELECT UNNEST(range(CAST(FLOOR(({RD_ORIGIN_Y} - t.ay) / {ts!r}) AS BIGINT),
+                                    CAST(FLOOR(({RD_ORIGIN_Y} - t."by") / {ts!r}) AS BIGINT) + 1)) AS ty) ty
+),
+pix AS (
+  SELECT g.*, i.ix, j.iy,
+         CAST({RD_ORIGIN_X} AS DOUBLE) + g.tx * CAST({ts!r} AS DOUBLE) + (i.ix + 0.5) * CAST({cell!r} AS DOUBLE) AS px,
+         CAST({RD_ORIGIN_Y} AS DOUBLE) - g.ty * CAST({ts!r} AS DOUBLE) - (j.iy + 0.5) * CAST({cell!r} AS DOUBLE) AS py
+  FROM tiles g,
+       LATERAL (SELECT UNNEST(range(0, {pixels})) AS ix) i,
+       LATERAL (SELECT UNNEST(range(0, {pixels})) AS iy) j
+)
+SELECT nationkey, {zoom} AS zoom, tx, ty, CAST(ix AS INT) AS ix, CAST(iy AS INT) AS iy
+FROM pix
+WHERE (
+  ((px - bx) * (ay - "by") - (ax - bx) * (py - "by") < 0 AND
+   (px - cx2) * ("by" - cy2) - (bx - cx2) * (py - cy2) < 0 AND
+   (px - ax) * (cy2 - ay) - (cx2 - ax) * (py - ay) < 0)
+  OR
+  ((px - bx) * (ay - "by") - (ax - bx) * (py - "by") > 0 AND
+   (px - cx2) * ("by" - cy2) - (bx - cx2) * (py - cy2) > 0 AND
+   (px - ax) * (cy2 - ay) - (cx2 - ax) * (py - ay) > 0)
+)
+"""
+
+
+def vectorize_raster(nation: DataFrame, zoom: int = 5, pixels: int = 8) -> DataFrame:
+    """Raster -> vector: merge horizontal pixel runs back into boxes.
+
+    Inverse direction of rasterize: groups interior pixels into maximal
+    per-(tile,row) runs and georeferences each run to a native-CRS box
+    (ToNative semantics).  Output: one row per run with native bbox.
+    """
+    ts = tile_size(zoom)
+    cell = ts / pixels
+    r = rasterize(nation, zoom, pixels)
+    run_id = F.col("ix") - F.row_number().over(
+        Window.partitionBy("nationkey", "zoom", "tx", "ty", "iy").orderBy("ix")
+    )
+    runs = r.withColumn("run", run_id).groupBy("nationkey", "zoom", "tx", "ty", "iy", "run").agg(
+        F.min("ix").alias("ix0"), F.max("ix").alias("ix1"), F.count("*").alias("n_px")
+    )
+    min_x = F.lit(RD_ORIGIN_X) + F.col("tx") * F.lit(ts) + F.col("ix0") * F.lit(cell)
+    max_x = F.lit(RD_ORIGIN_X) + F.col("tx") * F.lit(ts) + (F.col("ix1") + 1) * F.lit(cell)
+    max_y = F.lit(RD_ORIGIN_Y) - F.col("ty") * F.lit(ts) - F.col("iy") * F.lit(cell)
+    min_y = F.lit(RD_ORIGIN_Y) - F.col("ty") * F.lit(ts) - (F.col("iy") + 1) * F.lit(cell)
+    return runs.select(
+        "nationkey", "zoom", "tx", "ty", "iy", "n_px",
+        min_x.alias("min_x"), min_y.alias("min_y"), max_x.alias("max_x"), max_y.alias("max_y"),
+    )
+
+
+def vectorize_raster_sql(zoom: int = 5, pixels: int = 8) -> str:
+    ts = tile_size(zoom)
+    cell = ts / pixels
+    return f"""
+WITH raster AS ({rasterize_sql(zoom, pixels)}),
+runs AS (
+  SELECT nationkey, zoom, tx, ty, iy,
+         ix - ROW_NUMBER() OVER (PARTITION BY nationkey, zoom, tx, ty, iy ORDER BY ix) AS run,
+         ix
+  FROM raster
+)
+SELECT nationkey, zoom, tx, ty, iy,
+       COUNT(*) AS n_px,
+       CAST({RD_ORIGIN_X} AS DOUBLE) + tx * CAST({ts!r} AS DOUBLE) + MIN(ix) * CAST({cell!r} AS DOUBLE) AS min_x,
+       CAST({RD_ORIGIN_Y} AS DOUBLE) - ty * CAST({ts!r} AS DOUBLE) - (iy + 1) * CAST({cell!r} AS DOUBLE) AS min_y,
+       CAST({RD_ORIGIN_X} AS DOUBLE) + tx * CAST({ts!r} AS DOUBLE) + (MAX(ix) + 1) * CAST({cell!r} AS DOUBLE) AS max_x,
+       CAST({RD_ORIGIN_Y} AS DOUBLE) - ty * CAST({ts!r} AS DOUBLE) - iy * CAST({cell!r} AS DOUBLE) AS max_y
+FROM runs GROUP BY nationkey, zoom, tx, ty, iy, run
+"""

@@ -1,0 +1,104 @@
+"""Text-analysis operators: token stats, quality scoring, language scoring,
+document fingerprinting.
+
+All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
+whole-stage codegen); outputs are integers so the DuckDB oracles compare
+bit-exactly (no float rounding to negotiate between engines).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "for", "on", "with")
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc token/char/stopword/punct counts + integer quality score.
+
+    quality = floor(1000 * stop_ratio) + floor(10 * avg_token_len_x10
+    clamp) style integer mix - exact in both engines.
+    """
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), r"[.,;:!?]", ""))
+    quality = F.floor(F.lit(1000) * n_stop / n_tokens) + F.floor(F.lit(100) * n_punct / F.greatest(n_chars, F.lit(1)))
+    return documents.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        n_stop.alias("n_stopwords"),
+        n_punct.cast("long").alias("n_punct"),
+        quality.cast("long").alias("quality"),
+    )
+
+
+def text_stats_sql() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(list_filter(string_split(text, ' '), t -> t IN ({stop_list}))) AS INT) AS n_stopwords,
+       CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+       CAST(FLOOR(1000 * len(list_filter(string_split(text, ' '), t -> t IN ({stop_list})))
+                  / len(string_split(text, ' ')))
+            + FLOOR(100 * (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                    / GREATEST(length(text), 1)) AS BIGINT) AS quality
+FROM documents
+"""
+
+
+def lang_stopword_score(documents: DataFrame) -> DataFrame:
+    """Heuristic language-ID signal: per claimed lang, aggregate English
+    stopword incidence (the n-gram-free version of langid scoring)."""
+    toks = F.split(F.col("text"), " ")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return (
+        documents.select("lang", n_stop.alias("n_stop"), F.size(toks).alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_stop").cast("long").alias("total_stopwords"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.floor(F.lit(10000) * F.sum("n_stop") / F.sum("n_tok")).cast("long").alias("stop_per_10k"),
+        )
+    )
+
+
+def lang_stopword_score_sql() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(list_filter(string_split(text, ' '), t -> t IN ({stop_list})))) AS BIGINT) AS total_stopwords,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(FLOOR(10000.0 * SUM(len(list_filter(string_split(text, ' '), t -> t IN ({stop_list}))))
+                  / SUM(len(string_split(text, ' ')))) AS BIGINT) AS stop_per_10k
+FROM documents GROUP BY lang
+"""
+
+
+@pandas_udf(LongType())
+def rolling_fingerprint(text: pd.Series) -> pd.Series:
+    """Polynomial rolling-hash document fingerprint (base 257 mod 2^61-1),
+    Arrow-batched; stable across runs/executors."""
+    import numpy as np
+
+    p = (1 << 61) - 1
+    out = np.empty(len(text), dtype=np.int64)
+    for i, t in enumerate(text):
+        h = 0
+        for b in (t or "").encode():
+            h = (h * 257 + b) % p
+        out[i] = h
+    return pd.Series(out)
+
+
+def doc_fingerprints(documents: DataFrame) -> DataFrame:
+    return documents.select("doc_id", rolling_fingerprint("text").alias("fingerprint"))
