@@ -41,12 +41,19 @@ def main() -> None:
     from texel_spark.operators import spatial_queries as sq
     from texel_spark.operators.snap_tiles import snap_pipeline_df
     from texel_spark.session import get_spark
-    from texel_spark.sources.documents import synth_documents
+    from texel_spark.sources.documents import materialize_documents
 
     spark = get_spark(
         app_name="texel-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 16),
+        # sandbox miniaturization: sf0.1 inputs are a few MB, so scale the
+        # split size down with the data or every scan collapses to one
+        # task (at 100 TB the default 128 MB splits give thousands)
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "262144",
+            "spark.sql.files.openCostInBytes": "262144",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -54,8 +61,11 @@ def main() -> None:
         return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
     rd = load_embedded("NetherlandsRDNewQuad")
-    # enough input splits to keep every core busy in the kernel stage
-    docs = synth_documents(spark, n_docs, partitions=cpus * 3)
+    # docs come from parquet like production input; generation is untimed
+    import tempfile
+
+    docs_dir = os.path.join(tempfile.gettempdir(), f"texel_bench_docs_{n_docs}")
+    docs = materialize_documents(spark, n_docs, docs_dir, partitions=cpus * 3)
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}

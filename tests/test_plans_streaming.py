@@ -1,0 +1,101 @@
+"""Physical-plan guarantees + Structured Streaming smoke tests.
+
+The plan assertions are the codified version of the scale review: filters
+and pruning reach the scan, small sides broadcast, the flagship pipeline
+stays single-shuffle.
+"""
+
+import time
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from texel_spark.plans.checks import (
+    assert_broadcast_join,
+    assert_max_shuffles,
+    assert_pushed_read_schema,
+    assert_whole_stage_codegen,
+    count_exchanges,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from texel_spark.session import get_spark
+
+    return get_spark(app_name="texel-plan-tests", master="local[4]", shuffle_partitions=4)
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_text_stats_prunes_scan(spark):
+    from texel_spark.operators.text import text_stats
+
+    df = text_stats(spark.read.parquet(f"{SF}/documents.parquet"))
+    # only the used columns reach the parquet reader
+    assert_pushed_read_schema(df, ["text", "lang", "doc_id"], ["source", "n_chars"])
+    assert_whole_stage_codegen(df)
+
+
+def test_pip_join_broadcasts_and_is_shuffle_free(spark):
+    from texel_spark.operators.spatial_queries import pip_join
+
+    df = pip_join(
+        spark.read.parquet(f"{SF}/events.parquet"), spark.read.parquet(f"{SF}/nation.parquet")
+    )
+    assert_broadcast_join(df)
+    # equi-join on tile key with a broadcast small side: zero shuffles
+    assert_max_shuffles(df, 0)
+
+
+def test_snap_pipeline_is_narrow(spark):
+    """The flagship plan has NO shuffle before the sink repartition."""
+    from texel_spark.grid.tms import load_embedded
+    from texel_spark.operators.snap_tiles import snap_pipeline_df
+    from texel_spark.sources.documents import synth_documents
+
+    docs = synth_documents(spark, 50, partitions=2)
+    df = snap_pipeline_df(docs, load_embedded("NetherlandsRDNewQuad"), [5, 9])
+    assert count_exchanges(df) == 0
+    assert_broadcast_join(df)  # grid constants join is broadcast
+
+
+def test_tile_assign_pushes_column_pruning(spark):
+    from texel_spark.operators.spatial_queries import tile_assign
+
+    df = tile_assign(spark.read.parquet(f"{SF}/events.parquet"))
+    assert_pushed_read_schema(df, ["event_id"], ["props", "value", "user_id"])
+
+
+def test_streaming_snap_tiles(spark):
+    from texel_spark.grid.tms import load_embedded
+    from texel_spark.kernel.snap import SnapConfig
+    from texel_spark.streaming.jobs import document_rate_stream, streaming_snap_tiles
+
+    stream = document_rate_stream(spark, rows_per_second=200)
+    tiles = streaming_snap_tiles(
+        stream, load_embedded("NetherlandsRDNewQuad"), [5, 9], SnapConfig(ignore_outside_grid=True)
+    )
+    assert tiles.isStreaming
+    q = (
+        tiles.writeStream.format("memory")
+        .queryName("stream_tiles")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM stream_tiles").collect()[0]["c"]
+            if n > 0:
+                break
+            time.sleep(1)
+        assert n > 0, "stream produced no tile rows within 60s"
+        sample = spark.sql("SELECT * FROM stream_tiles LIMIT 5").collect()
+        assert {r["zoom"] for r in sample} <= {5, 9}
+    finally:
+        q.stop()

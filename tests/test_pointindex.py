@@ -55,17 +55,18 @@ def test_quadrant_extent_and_centroid():
 
 
 def _quad(ix, level, z):
-    return ix.quadrants[level][z]
+    assert z in ix.cells[level]
+    return ix.quadrant_at(level, z)
 
 
 def test_insert_point_deep():
     # pointindex_test.go:186-220 "deep": simple(3, 0.5), point (2.8, 3.2)
     ix = simple_ix(3, 0.5)
     ix.insert_point((2.8, 3.2))
-    assert set(ix.quadrants[0]) == {0}
-    assert set(ix.quadrants[1]) == {0b11}
-    assert set(ix.quadrants[2]) == {0b1110}
-    assert set(ix.quadrants[3]) == {0b111001}
+    assert ix.cells[0] == {0}
+    assert ix.cells[1] == {0b11}
+    assert ix.cells[2] == {0b1110}
+    assert ix.cells[3] == {0b111001}
     q = _quad(ix, 3, 0b111001)
     assert q.extent == (from_ord(2.5), from_ord(3.0), from_ord(3.0), from_ord(3.5))
     assert q.centroid == ipt(2.75, 3.25)
@@ -78,9 +79,9 @@ def test_insert_point_deeper():
     # pointindex_test.go:222-266: simple(5, 0.5), point (2.0, 6.0)
     ix = simple_ix(5, 0.5)
     ix.insert_point((2.0, 6.0))
-    assert set(ix.quadrants[3]) == {morton.to_z(1, 3)}
-    assert set(ix.quadrants[4]) == {morton.to_z(2, 6)}
-    assert set(ix.quadrants[5]) == {morton.to_z(4, 12)}
+    assert ix.cells[3] == {morton.to_z(1, 3)}
+    assert ix.cells[4] == {morton.to_z(2, 6)}
+    assert ix.cells[5] == {morton.to_z(4, 12)}
     q = _quad(ix, 5, morton.to_z(4, 12))
     assert q.extent == (from_ord(2.0), from_ord(6.0), from_ord(2.5), from_ord(6.5))
     assert q.centroid == ipt(2.25, 6.25)
@@ -92,15 +93,17 @@ def test_insert_point_deepest_webmercator_fixed_point():
     ix = PointIndex.from_tile_matrix_set(tms, 17)
 
     ix.insert_point((642743.3299, 6898063.027))
-    assert len(ix.quadrants[ix.deepest_level]) == 1
-    (z, q), = ix.quadrants[ix.deepest_level].items()
+    assert len(ix.cells[ix.deepest_level]) == 1
+    (z,) = ix.cells[ix.deepest_level]
+    q = ix.quadrant_at(ix.deepest_level, z)
     assert z == 225954093760580854
     assert q.extent == (6427432856623948, 68980629641080914, 6427433603079302, 68980630387536268)
     assert q.centroid == (6427433229851625, 68980630014308591)
 
     ix2 = PointIndex.from_tile_matrix_set(tms, 17)
     ix2.insert_point((642743.4434337, 6898062.9994258))
-    (z2, q2), = ix2.quadrants[ix2.deepest_level].items()
+    (z2,) = ix2.cells[ix2.deepest_level]
+    q2 = ix2.quadrant_at(ix2.deepest_level, z2)
     assert z2 == 225954093760581026
     assert q2.extent == (6427434349534656, 68980629641080914, 6427435095990010, 68980630387536268)
     assert q2.centroid == (6427434722762333, 68980630014308591)
@@ -110,7 +113,8 @@ def test_insert_point_deepest_rd():
     tms = load_embedded("NetherlandsRDNewQuad")
     ix = PointIndex.from_tile_matrix_set(tms, 16)
     ix.insert_point((155000, 463000))
-    (z, q), = ix.quadrants[ix.deepest_level].items()
+    (z,) = ix.cells[ix.deepest_level]
+    q = ix.quadrant_at(ix.deepest_level, z)
     assert z == 0xC0000000000000
     assert q.extent == (
         from_ord(155000), from_ord(463000),

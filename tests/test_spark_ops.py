@@ -67,15 +67,21 @@ def test_pipeline_contains_golden_snap(spark):
     """Docs with the planted golden polygon must produce the reference's
     exact snapped coordinates (snap_test.go:43-50) at zoom 14."""
     from texel_spark.functions.wkt import parse_wkt
-    from texel_spark.operators.snap_tiles import snap_pipeline_df
-    from texel_spark.sources.documents import synth_documents
+    from texel_spark.operators.snap_tiles import snap_documents, snap_pipeline_df
+    from texel_spark.sources.documents import geometry_spans, synth_documents
 
     docs20 = synth_documents(spark, 21, partitions=2)  # doc 0 and 20 carry the golden polygon
     rd = load_embedded("NetherlandsRDNewQuad")
-    out = snap_pipeline_df(docs20, rd, [14], SnapConfig(keep_points_and_lines=True, ignore_outside_grid=True))
+    cfg = SnapConfig(keep_points_and_lines=True, ignore_outside_grid=True)
+    out = snap_pipeline_df(docs20, rd, [14], cfg)
     rows = out.where("doc_id = 'doc-000000000'").collect()
     assert rows, "golden doc produced no tiles"
-    _, rings = parse_wkt(rows[0]["wkt"])
+    geom_rows = (
+        snap_documents(geometry_spans(docs20), rd, [14], cfg)
+        .where("doc_id = 'doc-000000000'")
+        .collect()
+    )
+    _, rings = parse_wkt(geom_rows[0]["wkt"])
     want = [
         (117220.2846875, 440135.9021875),
         (117210.7165625, 440135.1015625),

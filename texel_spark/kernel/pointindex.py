@@ -9,6 +9,15 @@ the Arrow-batched snap kernel (snap.go:43-45), from that polygon's own
 vertices.  State never crosses features, which is exactly why the Spark
 stage that wraps it is a narrow transformation.
 
+Representation notes (performance, not semantics): occupied cells are
+plain sets of Morton codes per level - a child's code is
+``parent_z << 2 | quadrant`` and an ancestor's is ``z >> 2*levels``, so
+insertion does ONE bit interleave per vertex, and cell extents/centroids
+(deterministic closed-form functions of (level, x, y),
+pointindex.go:183-198) are computed only for the few candidate cells the
+quadtree descent actually touches.  Output order and values are
+identical to the reference's map-of-Quadrant design.
+
 Geometry is plain tuples: point=(x, y) ints (fixed point), extent=(minx,
 miny, maxx, maxy), line=((x1, y1), (x2, y2)).  Cell semantics are
 half-open: bottom/left edges inclusive, top/right exclusive
@@ -17,10 +26,8 @@ half-open: bottom/left edges inclusive, top/right exclusive
 
 from __future__ import annotations
 
-import math
-
 from ..grid import morton
-from ..grid.fixedpoint import from_ord, from_point, go_div, i_between_inc, to_ord
+from ..grid.fixedpoint import from_point, go_div, i_between_inc, to_ord
 from ..grid.tms import TileMatrixSet
 
 VECTOR_TILE_INTERNAL_PIXEL_RESOLUTION = 16
@@ -56,7 +63,8 @@ class PointIndex:
         self.deepest_level = deepest_level
         self.deepest_size = 1 << deepest_level
         self.deepest_res = go_div(int_extent[2] - int_extent[0], self.deepest_size)
-        self.quadrants: dict[int, dict[int, Quadrant]] = {}
+        # occupied Morton codes per level (the sparse structure)
+        self.cells: list[set[int]] = [set() for _ in range(deepest_level + 1)]
         self.hit_once: dict[int, dict[tuple[int, int], list[int]]] = {}
         self.hit_multiple: dict[int, dict[tuple[int, int], list[int]]] = {}
         _, self.int_centroid = self._quadrant_extent_and_centroid(0, 0, 0, int_extent)
@@ -75,14 +83,19 @@ class PointIndex:
         coordinate (min + span/2 = +half internal pixel, pointindex.go:183-198)."""
         span = (1 << (self.deepest_level - level)) * self.deepest_res
         min_x, min_y = root_extent[0], root_extent[1]
+        half = span >> 1 if span >= 0 else go_div(span, 2)
         extent = (min_x + x * span, min_y + y * span, min_x + (x + 1) * span, min_y + (y + 1) * span)
-        centroid = (min_x + x * span + go_div(span, 2), min_y + y * span + go_div(span, 2))
+        centroid = (min_x + x * span + half, min_y + y * span + half)
         return extent, centroid
+
+    def quadrant_at(self, level: int, z: int) -> Quadrant:
+        """Materialize the Quadrant for an occupied-or-not cell code."""
+        x, y = morton.from_z(z)
+        extent, centroid = self._quadrant_extent_and_centroid(level, x, y, self.int_extent)
+        return Quadrant(z, extent, centroid)
 
     def insert_polygon(self, polygon) -> None:
         """Insert every vertex of every ring (pointindex.go:110-131)."""
-        for level in range(self.deepest_level + 1):
-            self.quadrants.setdefault(level, {})
         for ring in polygon:
             for vertex in ring:
                 self.insert_point(vertex)
@@ -100,16 +113,15 @@ class PointIndex:
         self.insert_coord(deepest_x, deepest_y)
 
     def insert_coord(self, deepest_x: int, deepest_y: int) -> None:
-        """pointindex.go:152-181: mark the cell at every level (ancestor =
-        coord >> level diff)."""
+        """pointindex.go:152-181: mark the cell at every level (ancestor
+        code = deepest code >> 2*level_diff)."""
         if deepest_x < 0 or deepest_y < 0 or deepest_x > self.deepest_size - 1 or deepest_y > self.deepest_size - 1:
             raise OutsideGridError(deepest_x, deepest_y, self.deepest_size)
-        for level in range(self.deepest_level + 1):
-            x = deepest_x >> (self.deepest_level - level)
-            y = deepest_y >> (self.deepest_level - level)
-            z = morton.to_z(x, y)
-            extent, centroid = self._quadrant_extent_and_centroid(level, x, y, self.int_extent)
-            self.quadrants.setdefault(level, {})[z] = Quadrant(z, extent, centroid)
+        z = morton.to_z(deepest_x, deepest_y)
+        cells = self.cells
+        deepest = self.deepest_level
+        for level in range(deepest + 1):
+            cells[level].add(z >> (2 * (deepest - level)))
 
     # -- snapping ---------------------------------------------------------
 
@@ -127,11 +139,11 @@ class PointIndex:
             self.hit_once.setdefault(level, {})
             self.hit_multiple.setdefault(level, {})
             points = []
-            for i, quadrant in enumerate(quadrants):
-                points.append((to_ord(quadrant.centroid[0]), to_ord(quadrant.centroid[1])))
+            for i, (_, _, _, _, centroid) in enumerate(quadrants):
+                points.append((to_ord(centroid[0]), to_ord(centroid[1])))
                 # first point skipped to avoid superfluous duplicates
                 if i > 0:
-                    self._check_point_hits(quadrant.centroid, ring_id, level)
+                    self._check_point_hits(centroid, ring_id, level)
             points_per_level[level] = points
         return points_per_level
 
@@ -139,20 +151,27 @@ class PointIndex:
         if not level_set or not line_intersects(int_line, self.int_extent):
             return None
         result = {}
-        parents = [Quadrant(0, self.int_extent, self.int_centroid)]
+        # parent tuple: (z, x, y, extent, centroid)
+        parents = [(0, 0, 0, self.int_extent, self.int_centroid)]
         if 0 in level_set:
             result[0] = parents
+        qec = self._quadrant_extent_and_centroid
+        root = self.int_extent
         for level in range(1, self.deepest_level + 1):
             intersected = []
-            level_quadrants = self.quadrants.get(level, {})
-            for parent in parents:
-                quadrant_zs = _quadrant_zs(parent.z)
+            level_cells = self.cells[level]
+            for pz, px, py, pext, pcent in parents:
+                base_z = pz << 2
                 with_points = {}
                 for q in range(4):
-                    quad = level_quadrants.get(quadrant_zs[q])
-                    if quad is not None:
-                        with_points[q] = quad
-                for q in _find_intersecting_quadrants(int_line, with_points, parent):
+                    if (base_z | q) in level_cells:
+                        x = px * 2 + (q & _RIGHT)
+                        y = py * 2 + ((q & _TOP) >> 1)
+                        extent, centroid = qec(level, x, y, root)
+                        with_points[q] = (base_z | q, x, y, extent, centroid)
+                if not with_points:
+                    continue
+                for q in _find_intersecting_quadrants(int_line, with_points, pcent, pext):
                     intersected.append(with_points[q])
             parents = intersected
             if level in level_set:
@@ -179,13 +198,7 @@ class PointIndex:
         return self.hit_multiple.get(level, {})
 
 
-# -- pure predicate helpers (module-level, vectorizable) -------------------
-
-
-def _quadrant_zs(parent_z: int):
-    """Morton codes of the 4 children (pointindex.go:347-357)."""
-    px, py = morton.from_z(parent_z)
-    return tuple(morton.to_z(px * 2 + (i & _RIGHT), py * 2 + ((i & _TOP) >> 1)) for i in range(4))
+# -- pure predicate helpers (module-level) ---------------------------------
 
 
 def contains_point(int_pt, int_extent) -> bool:
@@ -199,7 +212,7 @@ def contains_point(int_pt, int_extent) -> bool:
 def _infinite_quadrant(int_pt, int_centroid) -> int:
     """Which (infinite) quadrant of the parent centroid (pointindex.go:374-378)."""
     is_right = 1 if int_pt[0] >= int_centroid[0] else 0
-    is_top = (1 if int_pt[1] >= int_centroid[1] else 0) << 1
+    is_top = 2 if int_pt[1] >= int_centroid[1] else 0
     return is_right | is_top
 
 
@@ -208,47 +221,47 @@ def _quadrants_adjacent(a: int, b: int) -> bool:
     return diff == 0b01 or diff == 0b10
 
 
-def _find_intersecting_quadrants(int_line, quadrants, parent):
+def _find_intersecting_quadrants(int_line, quadrants, parent_centroid, parent_extent):
     """Candidate-pruned child intersection with certain/check/mutex flags
     (pointindex.go:264-345).  Returned order defines output vertex order."""
-    q1 = _infinite_quadrant(int_line[0], parent.centroid)
-    in1 = contains_point(int_line[0], parent.extent)
-    q2 = _infinite_quadrant(int_line[1], parent.centroid)
-    in2 = contains_point(int_line[1], parent.extent)
+    q1 = _infinite_quadrant(int_line[0], parent_centroid)
+    in1 = contains_point(int_line[0], parent_extent)
+    q2 = _infinite_quadrant(int_line[1], parent_centroid)
+    in2 = contains_point(int_line[1], parent_extent)
 
     # (quadrant index, certain, mutex)
     if q1 == q2:
         if in1 and in2:
-            to_check = [(q1, True, False)]
+            to_check = ((q1, True, False),)
         else:
-            to_check = [(q1, False, False)]
+            to_check = ((q1, False, False),)
     elif _quadrants_adjacent(q1, q2):
         if in1 and in2:
-            to_check = [(q1, True, False), (q2, True, False)]
+            to_check = ((q1, True, False), (q2, True, False))
         else:
-            to_check = [(q1, False, False), (q2, False, False)]
+            to_check = ((q1, False, False), (q2, False, False))
     else:
         if in1:
-            to_check = [
+            to_check = (
                 (q1, True, False),
                 (q1 ^ 0b01, False, True),
                 (q1 ^ 0b10, False, True),
                 (q2, in2, False),
-            ]
+            )
         elif in2:
-            to_check = [
+            to_check = (
                 (q1, False, False),
                 (q1 ^ 0b01, False, True),
                 (q1 ^ 0b10, False, True),
                 (q2, True, False),
-            ]
+            )
         else:
-            to_check = [
+            to_check = (
                 (q1, False, False),
                 (q1 ^ 0b01, False, True),
                 (q1 ^ 0b10, False, True),
                 (q2, False, False),
-            ]
+            )
 
     found = []
     mutexed = False
@@ -258,7 +271,7 @@ def _find_intersecting_quadrants(int_line, quadrants, parent):
         quadrant = quadrants.get(qi)
         if quadrant is None:
             continue
-        if certain or line_intersects(int_line, quadrant.extent):
+        if certain or line_intersects(int_line, quadrant[3]):
             found.append(qi)
             if mutex:
                 mutexed = True
@@ -295,10 +308,11 @@ def segment_intersect(int_l1, int_l2):
     """Line-line intersection on the int lines' float projections.
 
     Mirrors intgeom.SegmentIntersect (intgeom/intgeom.go:57-61) which
-    delegates to float go-spatial planar code - INCLUDING its quirk of
-    returning (x, x): ordinate 0 is used for both axes of the returned
-    point.  The tip-touch exceptions in line_intersects compare against
-    that value, so parity requires reproducing it exactly.
+    delegates to float go-spatial planar code (parametric ua/ub form) -
+    INCLUDING its quirk of returning (x, x): ordinate 0 is used for both
+    axes of the returned point.  The tip-touch exceptions in
+    line_intersects compare against that value, so parity requires
+    reproducing it exactly.
     """
     x1, y1 = to_ord(int_l1[0][0]), to_ord(int_l1[0][1])
     x2, y2 = to_ord(int_l1[1][0]), to_ord(int_l1[1][1])
@@ -313,7 +327,8 @@ def segment_intersect(int_l1, int_l2):
     px = x1 + ua * (x2 - x1)
     ok = 0 <= ua <= 1 and 0 <= ub <= 1
     # reference quirk: index 0 twice (intgeom.go:59)
-    return (from_ord(px), from_ord(px)), ok
+    from_px = int(px * 1e10)
+    return (from_px, from_px), ok
 
 
 def line_intersects(int_line, int_extent) -> bool:

@@ -130,17 +130,12 @@ _MASK64 = (1 << 64) - 1
 
 
 def _hash64_np(arr):
-    """Deterministic 64-bit string hash (FNV-1a), vectorized enough for
-    shingle batches; identical across executors and runs."""
+    """Deterministic 64-bit string hash, vectorized (pandas siphash with a
+    fixed key); identical across executors, processes and runs."""
     import numpy as np
+    import pandas as pd
 
-    out = np.empty(len(arr), dtype=np.uint64)
-    for i, s in enumerate(arr):
-        h = np.uint64(0xCBF29CE484222325)
-        for b in s.encode():
-            h = np.uint64((int(h) ^ b) * 0x100000001B3 & _MASK64)
-        out[i] = h
-    return out
+    return pd.util.hash_array(np.asarray(arr, dtype=object), hash_key="texel-spark-hash").astype(np.uint64)
 
 
 @pandas_udf(ArrayType(LongType()))

@@ -173,6 +173,32 @@ def morton_udf():
     return morton_z
 
 
+def morton_z_expr(tx, ty):
+    """Morton interleave as pure JVM column expressions (whole-stage
+    codegen; no Python worker in the loop).
+
+    Same bit-spread as morton.to_z (morton/morton.go:22-48) - adding a
+    Python stage just for bit twiddling would chain a second Python
+    runner per task slot and oversubscribe the host (observed 2x
+    slowdown at local[32]); Catalyst does this for free.
+    """
+    steps = (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    )
+
+    def spread(col):
+        x = col.cast("long")
+        for shift, mask in steps:
+            x = F.shiftleft(x, shift).bitwiseOR(x).bitwiseAND(F.lit(mask))
+        return x
+
+    return spread(tx).bitwiseOR(F.shiftleft(spread(ty), 1))
+
+
 def assign_tiles(snapped: DataFrame, tms: TileMatrixSet, tm_ids: list[int]) -> DataFrame:
     """One output row per (feature, zoom, covering tile).
 
@@ -195,14 +221,26 @@ def assign_tiles(snapped: DataFrame, tms: TileMatrixSet, tm_ids: list[int]) -> D
     ty0 = F.greatest(F.lit(0), F.floor(ty_top).cast("int"))
     ty1 = F.least(F.col("mh") - 1, F.floor(ty_bot).cast("int"))
 
+    # geometry payload is NOT carried through the tile fan-out: a feature
+    # can cover hundreds of deep-zoom tiles, and duplicating the geometry
+    # per covering tile multiplies the byte volume by that factor.  The
+    # tile index stays narrow (ids only); geometry lives once per
+    # (feature, zoom) in snapped_geometries() and joins back on demand.
     df = (
-        df.withColumn("tx", F.explode(F.sequence(tx0, tx1)))
-        .withColumn("ty", F.explode(F.sequence(ty0, ty1)))
-        .withColumn("tile_id", morton_udf()(F.col("tx").cast("long"), F.col("ty").cast("long")))
+        df.select("doc_id", "span_idx", "zoom", "geom_kind", "n_polys", tx0.alias("tx0"), tx1.alias("tx1"), ty0.alias("ty0"), ty1.alias("ty1"))
+        .withColumn("tx", F.explode(F.sequence("tx0", "tx1")))
+        .withColumn("ty", F.explode(F.sequence("ty0", "ty1")))
+        .withColumn("tile_id", morton_z_expr(F.col("tx"), F.col("ty")))
     )
     return df.select(
-        "doc_id", "span_idx", "zoom", "tx", "ty", "tile_id", "geom_kind", "wkt", "n_polys"
+        "doc_id", "span_idx", "zoom", "tx", "ty", "tile_id", "geom_kind", "n_polys"
     )
+
+
+def snapped_geometries(snapped: DataFrame) -> DataFrame:
+    """The geometry side of the normalized output: one row per
+    (feature, zoom) with the snapped WKT."""
+    return snapped.select("doc_id", "span_idx", "zoom", "geom_kind", "wkt", "n_polys")
 
 
 def run_pipeline(
@@ -229,7 +267,9 @@ def run_pipeline(
     if not todo:
         return summary
 
-    tiled = assign_tiles(snap_documents(geometry_spans(docs), tms, todo, config), tms, todo)
+    # persisted so the CPU-heavy kernel runs once for both sinks
+    snapped = snap_documents(geometry_spans(docs), tms, todo, config).persist()
+    tiled = assign_tiles(snapped, tms, todo)
     # explicit salt: a hot tile's rows spread over salt_buckets writer tasks
     salted = tiled.withColumn("salt", F.pmod(F.xxhash64("doc_id", "span_idx"), F.lit(salt_buckets)))
     shuffled = salted.repartition(F.col("zoom"), F.col("tile_id"), F.col("salt")).drop("salt")
@@ -239,7 +279,16 @@ def run_pipeline(
         .option("partitionOverwriteMode", "dynamic")
         .parquet(os.path.join(output_dir, "tiles"))
     )
+    (
+        snapped_geometries(snapped)
+        .repartition(F.col("zoom"))
+        .write.mode("overwrite")
+        .partitionBy("zoom")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(output_dir, "geoms"))
+    )
 
+    snapped.unpersist()
     out = spark.read.parquet(os.path.join(output_dir, "tiles"))
     # per-partition lineage + row-count metrics (north rule): replaces the
     # reference's log counters (processing.go:23,70-75) and running extent

@@ -156,6 +156,14 @@ def synth_documents(spark: SparkSession, n_docs: int, partitions: int | None = N
     return rng.mapInPandas(gen, schema=DOCUMENTS_SCHEMA)
 
 
+def materialize_documents(spark: SparkSession, n_docs: int, path: str, partitions: int | None = None) -> DataFrame:
+    """Write the synthetic table to parquet and read it back - the honest
+    input shape for benchmarks: production scans Iceberg/parquet (JVM
+    columnar reader), it does not run a Python generator stage."""
+    synth_documents(spark, n_docs, partitions).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def explode_spans(docs: DataFrame) -> DataFrame:
     """documents -> one row per span, order column retained (narrow op)."""
     return docs.select(

@@ -1,0 +1,79 @@
+"""Structured Streaming forms of the engine's operators.
+
+The reference's "streaming" is Go channels (bounded pipeline,
+processing/processing.go:136-154) - no event time, no late data.  These
+jobs are the engine's extension to real streams: a document stream is
+snapped incrementally with exactly-once sinks, and event streams get
+watermarked windowed aggregation.  The batch and streaming paths share
+the same operators (the kernel stage is a narrow map either way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..grid.tms import TileMatrixSet
+from ..kernel.snap import SnapConfig
+from ..operators.snap_tiles import assign_tiles, snap_documents
+
+
+def document_rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic interleaved-document stream from the rate source;
+    deterministic per doc index (same generator as the batch table)."""
+    from ..sources.documents import DOCUMENTS_SCHEMA, build_document
+
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [build_document(int(v)) for v in pdf["value"]]
+            yield pd.DataFrame({"doc_id": [r[0] for r in rows], "spans": [r[1] for r in rows]})
+
+    return rate.select("value").mapInPandas(gen, schema=DOCUMENTS_SCHEMA)
+
+
+def streaming_snap_tiles(
+    docs_stream: DataFrame, tms: TileMatrixSet, tm_ids: list[int], config: SnapConfig | None = None
+) -> DataFrame:
+    """Incremental snap->tile assignment over a document stream.
+
+    The kernel stage is stateless per document, so it runs unchanged
+    under Structured Streaming; the result is append-mode tile rows.
+    """
+    geoms = (
+        docs_stream.select("doc_id", F.posexplode("spans").alias("span_idx", "span"))
+        .where(F.col("span.kind") == "geom")
+        .select("doc_id", "span_idx", F.col("span.text").alias("wkt"))
+    )
+    snapped = snap_documents(geoms, tms, tm_ids, config)
+    return assign_tiles(snapped, tms, tm_ids)
+
+
+def streaming_hourly_rollup(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window rollup (late data beyond the watermark
+    dropped); the batch twin is operators.events.hourly_rollup."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_cents")
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_s: float = 30.0):
+    """Drive a stream into an in-memory sink until timeout; returns query."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q
