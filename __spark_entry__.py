@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": lambda s, d: sq.knn_join(_t(s, d, "events"), _t(s, d, "nation")),
         "rasterize": lambda s, d: sq.rasterize(_t(s, d, "nation")),
         "vectorize_raster": lambda s, d: sq.vectorize_raster(_t(s, d, "nation")),
+        "topk_per_tile": lambda s, d: sq.topk_per_tile(_t(s, d, "events")),
         # flagship kernel pipeline (oracle = reference golden tests)
         "snap_pipeline": snap_pipeline,
         "span_roundtrip": span_roundtrip,
@@ -117,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": sq.knn_join_sql(),
         "rasterize": sq.rasterize_sql(),
         "vectorize_raster": sq.vectorize_raster_sql(),
+        "topk_per_tile": sq.topk_per_tile_sql(),
         "dedup_exact": dedup.EXACT_DUPLICATES_SQL,
         "dedup_fingerprint": dedup.FINGERPRINT_DUPLICATES_SQL,
         "ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),

@@ -51,8 +51,8 @@ def main() -> None:
         # split size down with the data or every scan collapses to one
         # task (at 100 TB the default 128 MB splits give thousands)
         extra_conf={
-            "spark.sql.files.maxPartitionBytes": "262144",
-            "spark.sql.files.openCostInBytes": "262144",
+            "spark.sql.files.maxPartitionBytes": "8388608",
+            "spark.sql.files.openCostInBytes": "1048576",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -216,3 +216,15 @@ def test_pip_join_matches_bruteforce(spark):
             if (d1 < 0 and d2 < 0 and d3 < 0) or (d1 > 0 and d2 > 0 and d3 > 0):
                 want.add((p["event_id"], t["nationkey"]))
     assert got == want
+
+
+def test_knn_grid_matches_exact(spark):
+    from texel_spark.operators.spatial_queries import knn_join, knn_join_grid
+
+    events = spark.range(800).selectExpr("id as event_id")
+    nation = spark.range(25).selectExpr("id as n_nationkey")
+    exact = {(r["event_id"], r["rnk"]): r["nationkey"] for r in knn_join(events, nation, k=3, n_queries=800).collect()}
+    grid = {(r["event_id"], r["rnk"]): r["nationkey"] for r in knn_join_grid(events, nation, k=3, n_queries=800, cell=400_000.0).collect()}
+    agree = sum(1 for key, v in exact.items() if grid.get(key) == v)
+    # cell ring sized to the point/centroid density: grid path is exact here
+    assert agree / len(exact) >= 0.99, f"grid kNN recall {agree / len(exact):.3f}"

@@ -67,6 +67,9 @@ class PointIndex:
         self.cells: list[set[int]] = [set() for _ in range(deepest_level + 1)]
         self.hit_once: dict[int, dict[tuple[int, int], list[int]]] = {}
         self.hit_multiple: dict[int, dict[tuple[int, int], list[int]]] = {}
+        # per-level cell span + half-span (span is always >= 0)
+        self._spans = [(1 << (deepest_level - lv)) * self.deepest_res for lv in range(deepest_level + 1)]
+        self._halves = [s >> 1 for s in self._spans]
         _, self.int_centroid = self._quadrant_extent_and_centroid(0, 0, 0, int_extent)
 
     # -- construction -----------------------------------------------------
@@ -155,24 +158,68 @@ class PointIndex:
         parents = [(0, 0, 0, self.int_extent, self.int_centroid)]
         if 0 in level_set:
             result[0] = parents
-        qec = self._quadrant_extent_and_centroid
-        root = self.int_extent
+        root_min_x = self.int_extent[0]
+        root_min_y = self.int_extent[1]
+        (p1x, p1y), (p2x, p2y) = int_line
         for level in range(1, self.deepest_level + 1):
             intersected = []
             level_cells = self.cells[level]
+            span = self._spans[level]
+            half = self._halves[level]
             for pz, px, py, pext, pcent in parents:
                 base_z = pz << 2
-                with_points = {}
-                for q in range(4):
-                    if (base_z | q) in level_cells:
-                        x = px * 2 + (q & _RIGHT)
-                        y = py * 2 + ((q & _TOP) >> 1)
-                        extent, centroid = qec(level, x, y, root)
-                        with_points[q] = (base_z | q, x, y, extent, centroid)
-                if not with_points:
+                if not (
+                    base_z in level_cells
+                    or (base_z | 1) in level_cells
+                    or (base_z | 2) in level_cells
+                    or (base_z | 3) in level_cells
+                ):
                     continue
-                for q in _find_intersecting_quadrants(int_line, with_points, pcent, pext):
-                    intersected.append(with_points[q])
+                # infinite quadrant of each endpoint wrt the parent centroid
+                # + half-open containment in the parent (pointindex.go:264-268)
+                cx, cy = pcent
+                q1 = (1 if p1x >= cx else 0) | (2 if p1y >= cy else 0)
+                q2 = (1 if p2x >= cx else 0) | (2 if p2y >= cy else 0)
+                in1 = pext[0] <= p1x < pext[2] and pext[1] <= p1y < pext[3]
+                in2 = pext[0] <= p2x < pext[2] and pext[1] <= p2y < pext[3]
+
+                if q1 == q2:
+                    both = in1 and in2
+                    to_check = ((q1, both, False),)
+                elif (q1 ^ q2) in (0b01, 0b10):
+                    both = in1 and in2
+                    to_check = ((q1, both, False), (q2, both, False))
+                elif in1:
+                    to_check = (
+                        (q1, True, False),
+                        (q1 ^ 0b01, False, True),
+                        (q1 ^ 0b10, False, True),
+                        (q2, in2, False),
+                    )
+                else:
+                    to_check = (
+                        (q1, False, False),
+                        (q1 ^ 0b01, False, True),
+                        (q1 ^ 0b10, False, True),
+                        (q2, in2, False),
+                    )
+
+                mutexed = False
+                for qi, certain, mutex in to_check:
+                    if mutex and mutexed:
+                        continue
+                    z = base_z | qi
+                    if z not in level_cells:
+                        continue
+                    x = (px << 1) | (qi & _RIGHT)
+                    y = (py << 1) | ((qi & _TOP) >> 1)
+                    min_x = root_min_x + x * span
+                    min_y = root_min_y + y * span
+                    extent = (min_x, min_y, min_x + span, min_y + span)
+                    if certain or line_intersects(int_line, extent):
+                        intersected.append((z, x, y, extent, (min_x + half, min_y + half)))
+                        if mutex:
+                            mutexed = True
             parents = intersected
             if level in level_set:
                 result[level] = intersected
@@ -219,63 +266,6 @@ def _infinite_quadrant(int_pt, int_centroid) -> int:
 def _quadrants_adjacent(a: int, b: int) -> bool:
     diff = a ^ b
     return diff == 0b01 or diff == 0b10
-
-
-def _find_intersecting_quadrants(int_line, quadrants, parent_centroid, parent_extent):
-    """Candidate-pruned child intersection with certain/check/mutex flags
-    (pointindex.go:264-345).  Returned order defines output vertex order."""
-    q1 = _infinite_quadrant(int_line[0], parent_centroid)
-    in1 = contains_point(int_line[0], parent_extent)
-    q2 = _infinite_quadrant(int_line[1], parent_centroid)
-    in2 = contains_point(int_line[1], parent_extent)
-
-    # (quadrant index, certain, mutex)
-    if q1 == q2:
-        if in1 and in2:
-            to_check = ((q1, True, False),)
-        else:
-            to_check = ((q1, False, False),)
-    elif _quadrants_adjacent(q1, q2):
-        if in1 and in2:
-            to_check = ((q1, True, False), (q2, True, False))
-        else:
-            to_check = ((q1, False, False), (q2, False, False))
-    else:
-        if in1:
-            to_check = (
-                (q1, True, False),
-                (q1 ^ 0b01, False, True),
-                (q1 ^ 0b10, False, True),
-                (q2, in2, False),
-            )
-        elif in2:
-            to_check = (
-                (q1, False, False),
-                (q1 ^ 0b01, False, True),
-                (q1 ^ 0b10, False, True),
-                (q2, True, False),
-            )
-        else:
-            to_check = (
-                (q1, False, False),
-                (q1 ^ 0b01, False, True),
-                (q1 ^ 0b10, False, True),
-                (q2, False, False),
-            )
-
-    found = []
-    mutexed = False
-    for qi, certain, mutex in to_check:
-        if mutex and mutexed:
-            continue
-        quadrant = quadrants.get(qi)
-        if quadrant is None:
-            continue
-        if certain or line_intersects(int_line, quadrant[3]):
-            found.append(qi)
-            if mutex:
-                mutexed = True
-    return found
 
 
 def _extent_edges(int_extent):

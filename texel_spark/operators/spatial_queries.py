@@ -355,3 +355,91 @@ SELECT nationkey, zoom, tx, ty, iy,
        CAST({RD_ORIGIN_Y} AS DOUBLE) - ty * CAST({ts!r} AS DOUBLE) - iy * CAST({cell!r} AS DOUBLE) AS max_y
 FROM runs GROUP BY nationkey, zoom, tx, ty, iy, run
 """
+
+
+def topk_per_tile(events: DataFrame, zoom: int = 8, k: int = 3) -> DataFrame:
+    """Top-k points per tile by distance to the tile centre (K17's
+    area-sort as an engine-level window: partitionBy(tile).orderBy)."""
+    ts = tile_size(zoom)
+    pts = points_from_events(events)
+    df = pts.select(
+        "event_id",
+        "px",
+        "py",
+        F.floor((F.col("px") - F.lit(RD_ORIGIN_X)) / F.lit(ts)).alias("tx"),
+        F.floor((F.lit(RD_ORIGIN_Y) - F.col("py")) / F.lit(ts)).alias("ty"),
+    )
+    cx = F.lit(RD_ORIGIN_X) + (F.col("tx") + F.lit(0.5)) * F.lit(ts)
+    cy = F.lit(RD_ORIGIN_Y) - (F.col("ty") + F.lit(0.5)) * F.lit(ts)
+    dist = (F.col("px") - cx) * (F.col("px") - cx) + (F.col("py") - cy) * (F.col("py") - cy)
+    w = Window.partitionBy("tx", "ty").orderBy(F.col("dist").asc(), F.col("event_id").asc())
+    return (
+        df.withColumn("dist", dist)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(F.lit(zoom).alias("zoom"), "tx", "ty", "event_id", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def topk_per_tile_sql(zoom: int = 8, k: int = 3) -> str:
+    ts = tile_size(zoom)
+    return f"""
+WITH pts AS ({POINTS_FROM_EVENTS_SQL}),
+tiled AS (
+  SELECT event_id, px, py,
+         CAST(FLOOR((px - ({RD_ORIGIN_X})) / {ts!r}) AS BIGINT) AS tx,
+         CAST(FLOOR(({RD_ORIGIN_Y} - py) / {ts!r}) AS BIGINT) AS ty
+  FROM pts
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY tx, ty
+      ORDER BY (px - (CAST({RD_ORIGIN_X} AS DOUBLE) + (tx + 0.5) * CAST({ts!r} AS DOUBLE)))
+               * (px - (CAST({RD_ORIGIN_X} AS DOUBLE) + (tx + 0.5) * CAST({ts!r} AS DOUBLE)))
+             + (py - (CAST({RD_ORIGIN_Y} AS DOUBLE) - (ty + 0.5) * CAST({ts!r} AS DOUBLE)))
+               * (py - (CAST({RD_ORIGIN_Y} AS DOUBLE) - (ty + 0.5) * CAST({ts!r} AS DOUBLE))) ASC,
+             event_id ASC) AS rnk
+  FROM tiled
+)
+SELECT {zoom} AS zoom, tx, ty, event_id, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+def knn_join_grid(events: DataFrame, nation: DataFrame, k: int = 3, n_queries: int = 2000, cell: float = 250_000.0) -> DataFrame:
+    """kNN via cell-neighborhood candidate join - the 100 TB scale path.
+
+    Both sides bucket into a coarse grid; each query joins only its 3x3
+    cell neighborhood (an equi-join on cell key, shuffle- and
+    broadcast-friendly), then a window takes the top k.  Exact whenever
+    the k-th neighbour lies within one cell ring of the query - pick the
+    cell size >= the expected k-NN radius; tests/test_spark_ops pins
+    agreement with the exact operator on the test density.
+    """
+    pts = points_from_events(events).where(F.col("event_id") < n_queries)
+    cents = triangles_from_nation(nation).select("nationkey", "cx", "cy")
+    q = pts.select(
+        "event_id",
+        "px",
+        "py",
+        F.floor(F.col("px") / cell).alias("gx"),
+        F.floor(F.col("py") / cell).alias("gy"),
+    ).withColumn("gx", F.explode(F.sequence(F.col("gx") - 1, F.col("gx") + 1))).withColumn(
+        "gy", F.explode(F.sequence(F.col("gy") - 1, F.col("gy") + 1))
+    )
+    c = cents.select(
+        "nationkey",
+        "cx",
+        "cy",
+        F.floor(F.col("cx") / cell).alias("gx"),
+        F.floor(F.col("cy") / cell).alias("gy"),
+    )
+    d = (F.col("px") - F.col("cx")) * (F.col("px") - F.col("cx")) + (F.col("py") - F.col("cy")) * (F.col("py") - F.col("cy"))
+    w = Window.partitionBy("event_id").orderBy(F.col("dist").asc(), F.col("nationkey").asc())
+    return (
+        q.join(c, ["gx", "gy"])
+        .withColumn("dist", d)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("event_id", "nationkey", "rnk")
+    )

@@ -160,7 +160,15 @@ def materialize_documents(spark: SparkSession, n_docs: int, path: str, partition
     """Write the synthetic table to parquet and read it back - the honest
     input shape for benchmarks: production scans Iceberg/parquet (JVM
     columnar reader), it does not run a Python generator stage."""
-    synth_documents(spark, n_docs, partitions).write.mode("overwrite").parquet(path)
+    (
+        synth_documents(spark, n_docs, partitions)
+        .write.mode("overwrite")
+        # bound file size so scans split into enough tasks at any core
+        # count (parquet splits land on row-group starts; many small
+        # row-groups/files = real parallelism, no empty-chunk tasks)
+        .option("maxRecordsPerFile", 5000)
+        .parquet(path)
+    )
     return spark.read.parquet(path)
 
 
