@@ -99,3 +99,36 @@ def test_streaming_snap_tiles(spark):
         assert {r["zoom"] for r in sample} <= {5, 9}
     finally:
         q.stop()
+
+
+def test_streaming_stateful_sessionize(spark):
+    import time as _time
+
+    from texel_spark.streaming.jobs import rate_events_stream, streaming_sessionize
+
+    stream = rate_events_stream(spark, rows_per_second=100, n_users=5)
+    sess = streaming_sessionize(stream, gap_seconds=3600)
+    assert sess.isStreaming
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("stream_sessions")
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        rows = []
+        while _time.time() < deadline:
+            rows = spark.sql(
+                "SELECT user_id, max(n_events) n FROM stream_sessions GROUP BY user_id"
+            ).collect()
+            if len(rows) == 5 and all(r["n"] > 2 for r in rows):
+                break
+            _time.sleep(1)
+        assert len(rows) == 5, f"expected 5 users, got {rows}"
+        # rate events arrive within one gap -> exactly one session per user
+        max_sess = spark.sql("SELECT max(n_sessions) m FROM stream_sessions").collect()[0]["m"]
+        assert max_sess == 1
+    finally:
+        q.stop()

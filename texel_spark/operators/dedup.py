@@ -142,8 +142,10 @@ def _hash64_np(arr):
 def minhash_signature(shingles: pd.Series) -> pd.Series:
     """128-perm MinHash signature per doc from its shingle array.
 
-    Permutations are (a*h+b) mod p over a single FNV base hash - the
-    standard composable construction; numpy broadcasts all perms at once.
+    Permutations are (a*h + b) over a single base hash - the standard
+    composable construction.  The whole Arrow batch is processed with
+    three numpy ops (hash all shingles once, broadcast the perms in
+    chunks, segment-min via minimum.reduceat) - no per-document loop.
     """
     import numpy as np
 
@@ -151,15 +153,34 @@ def minhash_signature(shingles: pd.Series) -> pd.Series:
     rng = np.random.default_rng(42)
     a = rng.integers(1, (1 << 61) - 1, size=n_perm, dtype=np.int64).astype(np.uint64)
     b = rng.integers(0, (1 << 61) - 1, size=n_perm, dtype=np.int64).astype(np.uint64)
-    out = []
+
+    lengths = np.array([0 if sh is None else len(sh) for sh in shingles], dtype=np.int64)
+    flat: list = []
     for sh in shingles:
-        if sh is None or len(sh) == 0:
-            out.append([0] * n_perm)
-            continue
-        base = _hash64_np(sh)  # (n_shingles,)
-        # (n_perm, n_shingles) permuted hashes, min over shingles
-        perm = (a[:, None] * base[None, :] + b[:, None]) & np.uint64(_MASK64)
-        out.append(perm.min(axis=1).astype(np.int64).tolist())
+        if sh is not None and len(sh):
+            flat.extend(sh)
+    if not flat:
+        return pd.Series([[0] * n_perm for _ in range(len(shingles))])
+    base = _hash64_np(flat)  # (S,)
+
+    nonempty = lengths > 0
+    offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+    np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
+    sigs = np.empty((n_perm, len(offsets)), dtype=np.uint64)
+    chunk = 16  # perms per pass: bounds the (chunk x S) temp matrix
+    for i in range(0, n_perm, chunk):
+        perm = a[i : i + chunk, None] * base[None, :] + b[i : i + chunk, None]
+        sigs[i : i + chunk] = np.minimum.reduceat(perm, offsets, axis=1)
+
+    out = []
+    j = 0
+    zero = [0] * n_perm
+    for ln in lengths:
+        if ln == 0:
+            out.append(zero)
+        else:
+            out.append(sigs[:, j].astype(np.int64).tolist())
+            j += 1
     return pd.Series(out)
 
 
@@ -172,6 +193,10 @@ def minhash_lsh_candidates(
     bucket equi-join.  Cost is linear in corpus size + bucket collisions;
     verify candidates with ngram_jaccard on the candidate set only.
     """
+    # the signature stage is Python-CPU-bound: fan the input out to the
+    # cluster's parallelism regardless of how few files the scan produced
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    documents = documents.repartition(par)
     toks = F.split(F.col("text"), " ")
     sh = F.array_distinct(
         F.transform(F.sequence(F.lit(0), F.size(toks) - n), lambda i: F.array_join(F.slice(toks, i + 1, n), " "))

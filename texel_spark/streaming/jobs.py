@@ -77,3 +77,56 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_s: float = 30.
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def rate_events_stream(spark: SparkSession, rows_per_second: int = 200, n_users: int = 20) -> DataFrame:
+    """Synthetic event stream: rate source -> (user_id, ts, value)."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    return rate.select(
+        (F.col("value") % n_users).alias("user_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 100).cast("double").alias("value"),
+    )
+
+
+def streaming_sessionize(events_stream: DataFrame, gap_seconds: int = 30) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running session count with a gap rule - the streaming twin of
+    operators.events.sessionize.
+
+    State per user: (last_epoch, n_sessions, n_events).  Arbitrary
+    stateful processing is the Structured Streaming escape hatch the
+    reference has no analog for (its 'streams' are Go channels).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_sessions long, n_events long, last_epoch long"
+    state_schema = "last_epoch long, n_sessions long, n_events long"
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            last_epoch, n_sessions, n_events = state.get
+        else:
+            last_epoch, n_sessions, n_events = None, 0, 0
+        for pdf in pdfs:
+            for ts in sorted(pdf["ts"]):
+                epoch = int(pd.Timestamp(ts).timestamp())
+                if last_epoch is None or epoch - last_epoch > gap_seconds:
+                    n_sessions += 1
+                n_events += 1
+                last_epoch = epoch
+        state.update((last_epoch if last_epoch is not None else 0, n_sessions, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+                "last_epoch": [last_epoch or 0],
+            }
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
