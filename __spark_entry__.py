@@ -54,6 +54,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rd = load_embedded("NetherlandsRDNewQuad")
         return snap_pipeline_df(_synth_docs(spark, 400), rd, [5, 9, 12])
 
+    def _hilbert_tile_assign(spark, sf_dir):
+        # pluggable cell keyer demo: same tile grid, Hilbert key instead
+        # of Morton (better range locality); rows-only (no SQL analog)
+        import pyspark.sql.functions as F
+
+        from texel_spark.functions.udfs import hilbert_udf
+
+        zoom = 8
+        base = sq.tile_assign(_t(spark, sf_dir, "events"), zoom=zoom)
+        return base.withColumn("cell_id", hilbert_udf(zoom)(F.col("tx"), F.col("ty")))
+
     def span_roundtrip(spark, sf_dir):
         docs = _synth_docs(spark, 400)
         rt = reassemble_spans(explode_spans(docs))
@@ -78,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize": lambda s, d: sq.rasterize(_t(s, d, "nation")),
         "vectorize_raster": lambda s, d: sq.vectorize_raster(_t(s, d, "nation")),
         "topk_per_tile": lambda s, d: sq.topk_per_tile(_t(s, d, "events")),
+        "hilbert_tile_assign": _hilbert_tile_assign,
         # flagship kernel pipeline (oracle = reference golden tests)
         "snap_pipeline": snap_pipeline,
         "span_roundtrip": span_roundtrip,

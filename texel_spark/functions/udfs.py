@@ -29,3 +29,15 @@ def morton_y(z: pd.Series) -> pd.Series:
     from ..grid.morton import from_z_np
 
     return pd.Series(from_z_np(z.to_numpy("int64"))[1])
+
+
+def hilbert_udf(zoom: int):
+    """Hilbert d-index pandas UDF bound to a zoom (grid order 2^zoom)."""
+
+    @pandas_udf(LongType())
+    def _hilbert(tx: pd.Series, ty: pd.Series) -> pd.Series:
+        from .cellkeys import hilbert_key
+
+        return pd.Series(hilbert_key(tx.to_numpy("int64"), ty.to_numpy("int64"), zoom))
+
+    return _hilbert
