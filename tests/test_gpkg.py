@@ -139,3 +139,38 @@ def test_cli_end_to_end(spark, tmp_path):
         # attributes passed through verbatim (span-sequence analog)
         names = {r["name"] for r in rows}
         assert names <= {f"b{i}" for i in range(12)}
+
+
+REFERENCE_EXAMPLE = "/root/reference/example/example.gpkg"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REFERENCE_EXAMPLE), reason="reference example not present")
+def test_reference_example_gpkg_end_to_end(spark, tmp_path):
+    """The reference repo's own example GeoPackage (README.md:72-88) runs
+    through the CLI: polygons snapped per zoom, MULTIPOINT /
+    MULTILINESTRING features passed through verbatim, attributes kept."""
+    import sqlite3
+
+    from texel_spark.cli import main
+    from texel_spark.functions.wkb import gpkg_blob_to_geometry
+
+    tgt = str(tmp_path / "processed.gpkg")
+    rc = main([
+        "-s", REFERENCE_EXAMPLE, "-t", tgt,
+        "--tilematrixset", "WebMercatorQuad", "-z", "[10]",
+        "--keep-points-and-lines", "--ignore-outside-grid", "--master", "local[4]",
+    ])
+    assert rc == 0
+    out = str(tmp_path / "processed_10.gpkg")
+    con = sqlite3.connect(out)
+    counts = {t: con.execute(f'SELECT COUNT(*) FROM "{t}"').fetchone()[0] for t in ("polygons", "points", "lines")}
+    assert counts == {"polygons": 6, "points": 4, "lines": 3}
+    # pass-through kinds survive; snapped polygons are on the z10 lattice
+    kind, coords = gpkg_blob_to_geometry(con.execute('SELECT geom FROM "points" LIMIT 1').fetchone()[0])
+    assert kind == "multipoint"
+    kind, coords = gpkg_blob_to_geometry(con.execute('SELECT geom FROM "lines" LIMIT 1').fetchone()[0])
+    assert kind == "multilinestring"
+    names = {r[0] for r in con.execute('SELECT name FROM "polygons"')}
+    src = sqlite3.connect(f"file:{REFERENCE_EXAMPLE}?mode=ro", uri=True)
+    src_names = {r[0] for r in src.execute('SELECT name FROM "polygons"')}
+    assert names == src_names  # attributes pass through verbatim

@@ -228,3 +228,32 @@ def test_knn_grid_matches_exact(spark):
     agree = sum(1 for key, v in exact.items() if grid.get(key) == v)
     # cell ring sized to the point/centroid density: grid path is exact here
     assert agree / len(exact) >= 0.99, f"grid kNN recall {agree / len(exact):.3f}"
+
+
+def test_salted_shuffle_spreads_hot_tiles(spark):
+    """Skew handling: without salt a hot (zoom, tile_id) lands on one
+    writer task; with the pipeline's salt it spreads over several."""
+    import pyspark.sql.functions as F
+
+    from texel_spark.grid.tms import load_embedded
+    from texel_spark.operators.snap_tiles import assign_tiles, snap_documents
+
+    rd = load_embedded("NetherlandsRDNewQuad")
+    # 300 features of the identical tiny polygon -> one hot tile
+    wkt = "POLYGON ((155000 463000, 155050 463000, 155050 463050, 155000 463050, 155000 463000))"
+    pdf = spark.createDataFrame(
+        [(f"d{i}", 0, wkt) for i in range(300)], "doc_id string, span_idx int, wkt string"
+    )
+    tiled = assign_tiles(snap_documents(pdf, rd, [8]), rd, [8])
+
+    unsalted = tiled.repartition(8, F.col("zoom"), F.col("tile_id")).select(
+        F.spark_partition_id().alias("pid")
+    )
+    assert unsalted.select("pid").distinct().count() == 1
+
+    salted = (
+        tiled.withColumn("salt", F.pmod(F.xxhash64("doc_id", "span_idx"), F.lit(8)))
+        .repartition(8, F.col("zoom"), F.col("tile_id"), F.col("salt"))
+        .select(F.spark_partition_id().alias("pid"))
+    )
+    assert salted.select("pid").distinct().count() >= 4

@@ -17,6 +17,8 @@ import struct
 WKB_POINT = 1
 WKB_LINESTRING = 2
 WKB_POLYGON = 3
+WKB_MULTIPOINT = 4
+WKB_MULTILINESTRING = 5
 WKB_MULTIPOLYGON = 6
 
 _GP_MAGIC = b"GP"
@@ -51,6 +53,18 @@ def linestring_to_wkb(pts) -> bytes:
     return struct.pack("<BI", 1, WKB_LINESTRING) + struct.pack("<I", len(pts)) + struct.pack(f"<{len(flat)}d", *flat)
 
 
+def multipoint_to_wkb(pts) -> bytes:
+    out = [struct.pack("<BI", 1, WKB_MULTIPOINT), struct.pack("<I", len(pts))]
+    out.extend(point_to_wkb(p) for p in pts)
+    return b"".join(out)
+
+
+def multilinestring_to_wkb(lines) -> bytes:
+    out = [struct.pack("<BI", 1, WKB_MULTILINESTRING), struct.pack("<I", len(lines))]
+    out.extend(linestring_to_wkb(ln) for ln in lines)
+    return b"".join(out)
+
+
 def geometry_to_wkb(kind: str, coords) -> bytes:
     if kind == "polygon":
         return polygon_to_wkb(coords)
@@ -60,6 +74,10 @@ def geometry_to_wkb(kind: str, coords) -> bytes:
         return point_to_wkb(coords)
     if kind == "linestring":
         return linestring_to_wkb(coords)
+    if kind == "multipoint":
+        return multipoint_to_wkb(coords)
+    if kind == "multilinestring":
+        return multilinestring_to_wkb(coords)
     raise ValueError(kind)
 
 
@@ -96,6 +114,14 @@ def parse_wkb(buf: bytes, offset: int = 0):
             r, o = read_ring(o, drop_close=True)
             rings.append(r)
         return "polygon", rings, o
+    if gtype in (WKB_MULTIPOINT, WKB_MULTILINESTRING):
+        (nm,) = struct.unpack_from(f"{endian}I", buf, o)
+        o += 4
+        members = []
+        for _ in range(nm):
+            _kind, coords, o = parse_wkb(buf, o)
+            members.append(coords)
+        return ("multipoint" if gtype == WKB_MULTIPOINT else "multilinestring"), members, o
     if gtype == WKB_MULTIPOLYGON:
         (np_,) = struct.unpack_from(f"{endian}I", buf, o)
         o += 4

@@ -38,6 +38,17 @@ def parse_wkt(wkt: str):
     polygons) | ('point', (x, y)) | ('linestring', ring)."""
     s = wkt.strip()
     upper = s[:20].upper()
+    if upper.startswith("MULTIPOINT"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        groups = _split_groups(body)
+        if groups:
+            pts = [tuple(float(o) for o in g.split()) for g in groups]
+        else:
+            pts = [tuple(float(o) for o in p.split()) for p in body.split(",")]
+        return "multipoint", pts
+    if upper.startswith("MULTILINESTRING"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        return "multilinestring", [_parse_ring(g) for g in _split_groups(body)]
     if upper.startswith("MULTIPOLYGON"):
         body = s[s.index("(") + 1 : s.rindex(")")]
         polys = [[_parse_ring(r) for r in _split_groups(g)] for g in _split_groups(body)]
@@ -86,6 +97,10 @@ def geometry_to_wkt(kind: str, coords) -> str:
         return "LINESTRING " + ring_to_wkt_body(coords, close=False)
     if kind == "point":
         return "POINT (" + _fmt_pt(coords) + ")"
+    if kind == "multipoint":
+        return "MULTIPOINT (" + ", ".join("(" + _fmt_pt(p) + ")" for p in coords) + ")"
+    if kind == "multilinestring":
+        return "MULTILINESTRING (" + ", ".join(ring_to_wkt_body(ln, close=False) for ln in coords) + ")"
     raise ValueError(kind)
 
 

@@ -130,6 +130,10 @@ def snap_documents(
                     # non-polygon: pass through unchanged to every zoom
                     if kind == "point":
                         bbox = (coords[0], coords[1], coords[0], coords[1])
+                    elif kind == "multilinestring":
+                        xs = [p[0] for ln in coords for p in ln]
+                        ys = [p[1] for ln in coords for p in ln]
+                        bbox = (min(xs), min(ys), max(xs), max(ys))
                     else:
                         xs = [p[0] for p in coords]
                         ys = [p[1] for p in coords]

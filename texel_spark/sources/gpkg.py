@@ -220,7 +220,11 @@ def write_features(
                 bb = polygon_bbox(rings)
             elif kind == "point":
                 bb = (coords[0], coords[1], coords[0], coords[1])
-            else:
+            elif kind == "multilinestring":
+                xs = [p[0] for ln in coords for p in ln]
+                ys = [p[1] for ln in coords for p in ln]
+                bb = (min(xs), min(ys), max(xs), max(ys))
+            else:  # linestring, multipoint
                 xs = [p[0] for p in coords]
                 ys = [p[1] for p in coords]
                 bb = (min(xs), min(ys), max(xs), max(ys))
