@@ -54,6 +54,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rd = load_embedded("NetherlandsRDNewQuad")
         return snap_pipeline_df(_synth_docs(spark, 400), rd, [5, 9, 12])
 
+    def snap_pipeline_webmercator(spark, sf_dir):
+        # same documents, WebMercatorQuad grid (EPSG:3857): RD-extent
+        # coordinates are valid WebMercator metres, so the whole pipeline
+        # exercises a second embedded TMS end to end
+        wm = load_embedded("WebMercatorQuad")
+        from texel_spark.kernel.snap import SnapConfig
+
+        return snap_pipeline_df(
+            _synth_docs(spark, 200), wm, [11, 15], SnapConfig(ignore_outside_grid=True)
+        )
+
     def _hilbert_tile_assign(spark, sf_dir):
         # pluggable cell keyer demo: same tile grid, Hilbert key instead
         # of Morton (better range locality); rows-only (no SQL analog)
@@ -92,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_tile_assign": _hilbert_tile_assign,
         # flagship kernel pipeline (oracle = reference golden tests)
         "snap_pipeline": snap_pipeline,
+        "snap_pipeline_webmercator": snap_pipeline_webmercator,
         "span_roundtrip": span_roundtrip,
         # dedup family
         "dedup_exact": lambda s, d: dedup.exact_duplicates(_t(s, d, "documents")),

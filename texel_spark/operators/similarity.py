@@ -33,7 +33,10 @@ def cosine_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 20) -> DataF
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("q")
     )
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("c"))
+    # the Q x N similarity scan is CPU-bound: fan the corpus out to the
+    # cluster's parallelism even when the scan produced one split
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    corpus = emb.repartition(par).select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("c"))
     sim = _dot(F.col("q"), F.col("c")) / (F.sqrt(_dot(F.col("q"), F.col("q"))) * F.sqrt(_dot(F.col("c"), F.col("c"))))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
