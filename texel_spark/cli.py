@@ -78,7 +78,9 @@ def main(argv=None) -> int:
         attr_cols = [c for c, _ in tinfo.columns if c not in (tinfo.geometry_column, "fid")]
         # stable feature key for re-joining attributes after the kernel
         keyed = feats.withColumn("__fk", F.monotonically_increasing_id()).cache()
-        geoms = keyed.select(F.col("__fk").cast("string").alias("doc_id"), F.lit(0).alias("span_idx"), "wkt")
+        geoms = keyed.where(F.col("wkt").isNotNull()).select(
+            F.col("__fk").cast("string").alias("doc_id"), F.lit(0).alias("span_idx"), "wkt"
+        )
         snapped = snap_documents(geoms, tms, tm_ids, config)
         for tm_id in tm_ids:
             out = (

@@ -71,16 +71,24 @@ def ngram_jaccard_pairs(
     max_shingle_freq are dropped on BOTH docs (stop-shingles) - bounds
     the join fan-out at corpus scale.
     """
-    sh = _shingles(documents, n).cache()
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    kept = sh.join(freq.where(F.col("df") <= max_shingle_freq), "shingle")
-    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = kept.alias("a")
-    b = kept.alias("b")
+    # inverted index as ONE groupBy (posting list per shingle), pairs
+    # generated JVM-side inside each bounded posting list - cheaper than
+    # a self-join shuffle, and the stop-shingle cap bounds the fan-out
+    sh = _shingles(documents, n)
+    grouped = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ds"), F.count("*").alias("df"))
+    kept = grouped.where(F.col("df") <= max_shingle_freq).cache()
+    sizes = kept.select(F.explode("ds").alias("doc_id")).groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pair_expr = """
+        explode(flatten(transform(ds, (a, i) ->
+            filter(transform(ds, (b, j) ->
+                IF(j > i AND a < b, struct(a AS doc_a, b AS doc_b),
+                   IF(j > i AND b < a, struct(b AS doc_a, a AS doc_b), null))),
+                x -> x IS NOT NULL))))
+    """
     inter = (
-        a.join(b, "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        kept.select(F.expr(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     j = (
