@@ -123,8 +123,15 @@ class PointIndex:
         z = morton.to_z(deepest_x, deepest_y)
         cells = self.cells
         deepest = self.deepest_level
-        for level in range(deepest + 1):
-            cells[level].add(z >> (2 * (deepest - level)))
+        # walk deep -> shallow and stop at the first already-marked cell:
+        # its ancestors are marked by construction (clustered vertices
+        # short-circuit after a couple of levels)
+        for level in range(deepest, -1, -1):
+            zl = z >> (2 * (deepest - level))
+            level_cells = cells[level]
+            if zl in level_cells:
+                break
+            level_cells.add(zl)
 
     # -- snapping ---------------------------------------------------------
 
