@@ -191,6 +191,11 @@ def _split_ring(ring, is_outer: bool, hit_multiple, ring_idx: int):
     """Split a ring at points it passes through more than once
     (snap.go:432-526): a stack of partial rings is completed/merged into
     rings, each classified by winding order."""
+    if not hit_multiple:
+        # fast path: with no self-tangency points the walk below cannot
+        # split - it always yields the ring unchanged (the common case);
+        # classification by winding still runs
+        return _classify_rings({0: ring}, is_outer)
     partial_ring_idx = 0
     stack: dict[int, list] = {partial_ring_idx: []}
     complete_rings: dict[int, list] = {}
@@ -237,6 +242,11 @@ def _split_ring(ring, is_outer: bool, hit_multiple, ring_idx: int):
                 f"reached end of ring with stack length {len(stack)}, expected 0: {stack}"
             )
 
+    return _classify_rings(complete_rings, is_outer)
+
+
+def _classify_rings(complete_rings, is_outer: bool):
+    """Classify completed rings by winding (snap.go:494-526)."""
     outer_rings: list = []
     inner_rings: list = []
     points_and_lines: list = []

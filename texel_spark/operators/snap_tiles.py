@@ -4,7 +4,7 @@ Physical plan (SURVEY.md section 4) - one shuffle total:
 
     scan documents (parquet/Iceberg, column-pruned)          [narrow]
     -> posexplode spans, filter kind='geom'                  [narrow]
-    -> snap kernel (mapInPandas, Arrow batches, int64 math)  [narrow, CPU]
+    -> snap kernel (mapInPandas, whole-batch numpy, int64)   [narrow, CPU]
     -> per-zoom covering-tile expansion + Morton tile_id     [narrow, JVM + vectorized numpy]
     -> repartition(zoom, salted tile_id)                     [THE shuffle]
     -> partitioned write + per-partition metrics/lineage     [sink]
@@ -42,7 +42,7 @@ from pyspark.sql.types import (
 )
 
 from ..grid.tms import TileMatrixSet, TOP_LEFT
-from ..kernel.snap import SnapConfig, snap_polygon
+from ..kernel.snap import SnapConfig
 from ..sources.documents import geometry_spans
 
 SNAPPED_SCHEMA = StructType(
@@ -87,6 +87,7 @@ def snap_documents(
             polygon_bbox,
             polygon_to_wkt,
         )
+        from ..kernel.snap_batch import snap_polygons_batch
 
         tms_, tm_ids_, cfg = bc.value
         tm_ids_ = list(tm_ids_)
@@ -105,23 +106,39 @@ def snap_documents(
             out["n_polys"].append(n_polys)
 
         for pdf in batches:
-            for doc_id, span_idx, wkt in zip(pdf["doc_id"], pdf["span_idx"], pdf["wkt"]):
+            # pass 1: parse + gather every (multi)polygon member of the
+            # whole Arrow batch -> ONE vectorized kernel call
+            parsed = []
+            members: list = []
+            member_row: list[int] = []
+            for row_i, wkt in enumerate(pdf["wkt"]):
                 kind, coords = parse_wkt(wkt)
+                parsed.append((kind, coords))
                 if kind == "polygon":
-                    per_zoom = snap_polygon(coords, tms_, tm_ids_, cfg)
-                    for zoom, polys in per_zoom.items():
+                    members.append(coords)
+                    member_row.append(row_i)
+                elif kind == "multipolygon":
+                    members.extend(coords)
+                    member_row.extend([row_i] * len(coords))
+            snapped = snap_polygons_batch(members, tms_, tm_ids_, cfg) if members else []
+            # regroup member results per source row (D4/D5)
+            regrouped_by_row: dict[int, dict[int, list]] = {}
+            for res, row_i in zip(snapped, member_row):
+                rg = regrouped_by_row.setdefault(row_i, {})
+                for zoom, polys in res.items():
+                    rg.setdefault(zoom, []).extend(polys)
+
+            for row_i, (doc_id, span_idx) in enumerate(zip(pdf["doc_id"], pdf["span_idx"])):
+                kind, coords = parsed[row_i]
+                if kind == "polygon":
+                    for zoom, polys in regrouped_by_row.get(row_i, {}).items():
                         if not polys:
                             continue
                         w = polygon_to_wkt(polys[0]) if len(polys) == 1 else multipolygon_to_wkt(polys)
                         bbox = polygon_bbox([r for p in polys for r in p])
                         emit(doc_id, int(span_idx), zoom, "polygon" if len(polys) == 1 else "multipolygon", w, bbox, len(polys))
                 elif kind == "multipolygon":
-                    # decompose, snap per member, regroup per zoom (D4)
-                    regrouped: dict[int, list] = {}
-                    for member in coords:
-                        for zoom, polys in snap_polygon(member, tms_, tm_ids_, cfg).items():
-                            regrouped.setdefault(zoom, []).extend(polys)
-                    for zoom, polys in regrouped.items():
+                    for zoom, polys in regrouped_by_row.get(row_i, {}).items():
                         if not polys:
                             continue
                         bbox = polygon_bbox([r for p in polys for r in p])
