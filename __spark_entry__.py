@@ -65,6 +65,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _synth_docs(spark, 200), wm, [11, 15], SnapConfig(ignore_outside_grid=True)
         )
 
+    def snap_pipeline_nztm(spark, sf_dir):
+        # lat/lon-ordered-axes grid (EPSG:2193), loaded from its OGC TMS
+        # 2.0 registry JSON: exercises the axis-swap + JSON-loader paths
+        # through the full pipeline
+        nz = load_embedded("NZTM2000Quad")
+        from texel_spark.sources.documents import synth_documents
+
+        (bl, tr) = nz.matrix_bounding_box(0)
+        docs = synth_documents(spark, 200, partitions=8, extent=(bl[0], bl[1], tr[0], tr[1]))
+        return snap_pipeline_df(docs, nz, [4, 8])
+
     def _hilbert_tile_assign(spark, sf_dir):
         # pluggable cell keyer demo: same tile grid, Hilbert key instead
         # of Morton (better range locality); rows-only (no SQL analog)
@@ -104,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship kernel pipeline (oracle = reference golden tests)
         "snap_pipeline": snap_pipeline,
         "snap_pipeline_webmercator": snap_pipeline_webmercator,
+        "snap_pipeline_nztm": snap_pipeline_nztm,
         "span_roundtrip": span_roundtrip,
         # dedup family
         "dedup_exact": lambda s, d: dedup.exact_duplicates(_t(s, d, "documents")),
@@ -118,7 +130,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "cosine_topk": lambda s, d: similarity.cosine_topk(_t(s, d, "embeddings")),
         "ivf_cosine_topk": lambda s, d: similarity.ivf_cosine_topk(_t(s, d, "embeddings")),
-        "embedding_near_dup": lambda s, d: similarity.embedding_near_dup(_t(s, d, "embeddings")),
+        # threshold 0.3 here: the synthetic embeddings are random (max
+        # same-cell cosine ~0.43), so the oracle compares NONZERO rows;
+        # the operator default stays 0.95 (real near-dup), pinned by the
+        # planted-pair pytest
+        "embedding_near_dup": lambda s, d: similarity.embedding_near_dup(
+            _t(s, d, "embeddings"), threshold=0.3
+        ),
         # events / windows
         "hourly_rollup": lambda s, d: events.hourly_rollup(_t(s, d, "events")),
         "sessionize": lambda s, d: events.sessionize(_t(s, d, "events")),
@@ -133,7 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from texel_spark.operators import dedup, events, text
     from texel_spark.operators import spatial_queries as sq
-    from texel_spark.operators.similarity import cosine_topk_sql
+    from texel_spark.operators.similarity import cosine_topk_sql, embedding_near_dup_sql
 
     return {
         "tile_assign": sq.tile_assign_sql(),
@@ -148,7 +166,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "text_stats": text.text_stats_sql(),
         "lang_stopword_score": text.lang_stopword_score_sql(),
+        "doc_fingerprints": text.doc_fingerprints_sql(),
         "cosine_topk": cosine_topk_sql(),
+        "embedding_near_dup": embedding_near_dup_sql(threshold=0.3),
         "hourly_rollup": events.HOURLY_ROLLUP_SQL,
         "sessionize": events.sessionize_sql(),
         # snap_pipeline / span_roundtrip / minhash_lsh / simhash_buckets /

@@ -257,3 +257,49 @@ def test_salted_shuffle_spreads_hot_tiles(spark):
         .select(F.spark_partition_id().alias("pid"))
     )
     assert salted.select("pid").distinct().count() >= 4
+
+
+def test_embedding_near_dup_recovers_planted_pairs(spark):
+    """Two planted >=0.95-cosine pairs (and only them) come back at the
+    default threshold; a moderate-sim pair (~0.7) does not."""
+    import random
+
+    from texel_spark.operators.similarity import embedding_near_dup
+
+    rng = random.Random(7)
+    dim = 16
+    base1 = [rng.uniform(-1, 1) for _ in range(dim)]
+    near1 = [v + rng.uniform(-0.01, 0.01) for v in base1]   # cos ~ 1.0
+    base2 = [rng.uniform(-1, 1) for _ in range(dim)]
+    near2 = [v * 1.5 + rng.uniform(-0.01, 0.01) for v in base2]  # scaled copy
+    mid = [v + rng.uniform(-0.8, 0.8) for v in base1]       # moderate sim
+    rows = [(0, base1), (1, near1), (2, base2), (3, near2), (4, mid)]
+    rows += [(10 + i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(20)]
+    pdf = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    assert cos(base1, near1) > 0.95 and cos(base2, near2) > 0.95
+    assert cos(base1, mid) < 0.95
+
+    got = {(r["id_a"], r["id_b"]) for r in embedding_near_dup(pdf).collect()}
+    assert got == {(0, 1), (2, 3)}
+
+
+def test_embedding_near_dup_matches_duckdb_oracle(spark):
+    """Same-machinery check on the driver testdata at a threshold the
+    random embeddings actually reach (nonzero result rows)."""
+    duckdb = pytest.importorskip("duckdb")
+    from texel_spark.operators.similarity import embedding_near_dup, embedding_near_dup_sql
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {(r["id_a"], r["id_b"]) for r in embedding_near_dup(emb, threshold=0.3).collect()}
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    want = {(a, b) for a, b in con.sql(embedding_near_dup_sql(threshold=0.3)).fetchall()}
+    assert got == want
+    assert len(got) > 0

@@ -1,0 +1,196 @@
+"""OGC TMS 2.0 JSON loader vs the reference's tms20 tests.
+
+Ports tms20_test.go:17-215: all 14 embedded grids load, marshal back to
+JSON losslessly (JSONEq), resolve the right SRID, and Size / FromNative /
+ToNative match the golden expectations - including the bottomLeft +
+axis-order-fallback + non-square custom grid (the reference's
+testdata/SomethingWithBottomLeftAndLatLonAndDoubleHeight.json analog).
+"""
+
+import json
+import os
+
+import pytest
+
+from texel_spark.grid.tms import (
+    CRS,
+    embedded_tile_matrix_set_ids,
+    is_quad_tree,
+    load_embedded,
+    load_json_tile_matrix_set,
+    parse_tile_matrix_set,
+    tile_matrix_set_to_json_dict,
+)
+
+_TMS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(__file__)), "texel_spark", "grid", "tilematrixsets"
+)
+_CUSTOM = os.path.join(os.path.dirname(__file__), "data", "CustomBottomLeftLatLonDoubleHeight.json")
+
+# tms20_test.go:17-37
+EXPECTED_SRIDS = {
+    "CanadianNAD83_LCC": 3978,
+    "CDB1GlobalGrid": 4326,
+    "EuropeanETRS89_LAEAQuad": 3035,
+    "GNOSISGlobalGrid": 4326,
+    "LINZAntarticaMapTilegrid": 5482,
+    "NetherlandsRDNewQuad": 28992,
+    "NZTM2000Quad": 2193,
+    "UPSAntarcticWGS84Quad": 5042,
+    "UPSArcticWGS84Quad": 5041,
+    "UTM31WGS84Quad": 32631,
+    "WebMercatorQuad": 3857,
+    "WGS1984Quad": 4326,
+    "WorldCRS84Quad": 0,  # OGC CRS84: SRID panics in the reference
+    "WorldMercatorWGS84Quad": 3395,
+}
+
+
+def test_all_fourteen_grids_ship():
+    assert sorted(embedded_tile_matrix_set_ids()) == sorted(EXPECTED_SRIDS)
+
+
+@pytest.mark.parametrize("tms_id", sorted(EXPECTED_SRIDS))
+def test_load_embedded_roundtrip_and_srid(tms_id):
+    tms = load_embedded(tms_id)
+    with open(os.path.join(_TMS_DIR, tms_id + ".json"), encoding="utf-8") as f:
+        raw = json.load(f)
+    assert tile_matrix_set_to_json_dict(tms) == raw  # JSONEq (tms20_test.go:42-46)
+    want = EXPECTED_SRIDS[tms_id]
+    if want == 0:
+        with pytest.raises(ValueError):
+            tms.srid()
+    else:
+        assert tms.srid() == want
+
+
+def test_load_json_custom_grid_roundtrip():
+    tms = load_json_tile_matrix_set(_CUSTOM)
+    with open(_CUSTOM, encoding="utf-8") as f:
+        raw = json.load(f)
+    assert tile_matrix_set_to_json_dict(tms) == raw
+    assert tms.srid() == 1
+
+
+def test_size_goldens():
+    # tms20_test.go:90-129
+    rd = load_embedded("NetherlandsRDNewQuad")
+    assert rd.size(0) == (0, 1, 1)
+    assert rd.size(1) == (1, 2, 2)
+    assert rd.size(99) is None
+    custom = load_json_tile_matrix_set(_CUSTOM)
+    assert custom.size(0) == (0, 2, 4)
+
+
+def test_from_native_goldens():
+    # tms20_test.go:131-180
+    rd = load_embedded("NetherlandsRDNewQuad")
+    assert rd.from_native(1, (155000.0, 463000.0)) == (1, 1, 1)
+    assert rd.from_native(100, (0.0, 0.0)) is None
+    assert rd.from_native(0, (-285401.92 - 1, 903401.92)) is None
+    assert rd.from_native(0, (-285401.92, 903401.92 + 1)) is None
+    assert rd.from_native(0, (595401.92 + 1, 22598.08)) is None
+    assert rd.from_native(0, (595401.92, 22598.08 - 1)) is None
+    custom = load_json_tile_matrix_set(_CUSTOM)
+    assert custom.from_native(0, (256.0, 256.0)) == (0, 1, 1)
+
+
+def test_to_native_goldens():
+    # tms20_test.go:182-215
+    rd = load_embedded("NetherlandsRDNewQuad")
+    assert rd.to_native(1, 1, 1) == (155000.0, 463000.0)
+    custom = load_json_tile_matrix_set(_CUSTOM)
+    assert custom.to_native(0, 1, 1) == (256.0, 512.0)
+
+
+def test_latlon_axis_grids_resolve_origin_swapped():
+    """NZTM2000Quad (EPSG:2193) is lat/lon-ordered: pointOfOrigin must be
+    swapped into XY before tile math (tms20.go:527-541)."""
+    nz = load_embedded("NZTM2000Quad")
+    origin_xy = nz.to_xy_point(nz.tile_matrices[0].point_of_origin)
+    assert origin_xy == (-3260586.7284, 10438190.1652)
+    is_quad_tree(nz)  # NZTM2000Quad is a proper quad tree -> snap-able
+
+
+def test_quad_tree_classification_of_embedded_grids():
+    quad, non_quad = [], []
+    for tms_id in embedded_tile_matrix_set_ids():
+        try:
+            is_quad_tree(load_embedded(tms_id))
+            quad.append(tms_id)
+        except ValueError:
+            non_quad.append(tms_id)
+    assert {
+        "NetherlandsRDNewQuad",
+        "WebMercatorQuad",
+        "NZTM2000Quad",
+        "WorldMercatorWGS84Quad",
+        "EuropeanETRS89_LAEAQuad",
+        "UPSArcticWGS84Quad",
+        "UPSAntarcticWGS84Quad",
+    } <= set(quad)
+    # 2x1 roots, variable-width rows, or non-doubling pyramids cannot
+    # back the snap quadtree (pointindex.go:515-563 rejects them)
+    assert "WGS1984Quad" in non_quad
+    assert "GNOSISGlobalGrid" in non_quad
+    assert "CanadianNAD83_LCC" in non_quad
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda d: d.pop("crs"), "crs"),
+        (lambda d: d.pop("tileMatrices"), "tileMatrices"),
+        (lambda d: d.update(tileMatrices=[]), "at least one"),
+        (lambda d: d["tileMatrices"][0].update(id="zero"), "integer-like"),
+        (lambda d: d["tileMatrices"][0].update(cellSize=0), "cellSize"),
+        (lambda d: d["tileMatrices"][0].update(scaleDenominator=-1), "scaleDenominator"),
+        (lambda d: d["tileMatrices"][0].pop("pointOfOrigin"), "pointOfOrigin"),
+        (lambda d: d["tileMatrices"][0].update(tileWidth=0), "tileWidth"),
+        (lambda d: d["tileMatrices"][0].update(cornerOfOrigin="middle"), "cornerOfOrigin"),
+        (lambda d: d.update(crs="not-a-crs-uri"), "crs uri"),
+    ],
+)
+def test_validation_errors(mutate, msg):
+    with open(_CUSTOM, encoding="utf-8") as f:
+        doc = json.load(f)
+    mutate(doc)
+    with pytest.raises((ValueError, KeyError), match=msg):
+        parse_tile_matrix_set(doc)
+
+
+def test_crs_variants():
+    # oneOf: wkt (ProjJSON) and referenceSystem forms (tms20.go:185-223)
+    with open(_CUSTOM, encoding="utf-8") as f:
+        doc = json.load(f)
+    doc["crs"] = {"wkt": {"id": {"authority": "EPSG", "code": "28992"}}}
+    tms = parse_tile_matrix_set(doc)
+    assert (tms.crs.authority, tms.crs.code) == ("EPSG", "28992")
+    assert tms.srid() == 28992
+    assert tile_matrix_set_to_json_dict(tms)["crs"] == doc["crs"]
+    doc["crs"] = {"referenceSystem": {"code": "x"}, "description": "iso"}
+    tms = parse_tile_matrix_set(doc)
+    with pytest.raises(NotImplementedError):
+        tms.crs.authority
+    assert tile_matrix_set_to_json_dict(tms)["crs"]["referenceSystem"] == {"code": "x"}
+
+
+def test_from_to_native_roundtrip_all_quad_grids():
+    """Tile -> native -> same tile across every embedded quad grid (both
+    axis orders, both corners)."""
+    for tms_id in embedded_tile_matrix_set_ids():
+        tms = load_embedded(tms_id)
+        try:
+            is_quad_tree(tms)
+        except ValueError:
+            continue
+        zoom = max(k for k in tms.tile_matrices if k <= 8)
+        tm = tms.tile_matrices[zoom]
+        for tx, ty in [(0, 0), (tm.matrix_width - 1, tm.matrix_height - 1), (tm.matrix_width // 2, tm.matrix_height // 3)]:
+            pt = tms.to_native(zoom, tx, ty)
+            assert pt is not None, tms_id
+            # nudge into the tile interior (to_native returns the corner)
+            eps = tm.cell_size * tm.tile_width / 7
+            y_dir = 1.0 if tm.corner_of_origin == "bottomLeft" else -1.0
+            got = tms.from_native(zoom, (pt[0] + eps, pt[1] + y_dir * eps))
+            assert got == (zoom, tx, ty), f"{tms_id} z{zoom} ({tx},{ty}) -> {got}"

@@ -35,7 +35,11 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="texel-spark")
     p.add_argument("-s", "--source", required=True)
     p.add_argument("-t", "--target", required=True)
-    p.add_argument("--tilematrixset", "-tms", default="NetherlandsRDNewQuad")
+    p.add_argument(
+        "--tilematrixset", "-tms", default="NetherlandsRDNewQuad",
+        help="embedded TMS id (one of the 14 OGC registry grids) or a path "
+        "to a custom OGC TMS 2.0 JSON file (main.go:98, tms20.go:42-54)",
+    )
     p.add_argument("--tilematrices", "-z", default="[5]", help="JSON list of tile matrix IDs")
     p.add_argument("--keep-points-and-lines", action="store_true")
     p.add_argument("--ignore-outside-grid", action="store_true")
@@ -44,13 +48,18 @@ def main(argv=None) -> int:
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
-    from .grid.tms import deviation_stats, is_quad_tree, load_embedded
+    import os
+
+    from .grid.tms import deviation_stats, is_quad_tree, load_embedded, load_json_tile_matrix_set
     from .kernel.snap import SnapConfig
     from .operators.snap_tiles import snap_documents
     from .session import get_spark
     from .sources.gpkg import get_table_info, read_features, write_features
 
-    tms = load_embedded(args.tilematrixset)
+    if args.tilematrixset.endswith(".json") or os.path.sep in args.tilematrixset:
+        tms = load_json_tile_matrix_set(args.tilematrixset)
+    else:
+        tms = load_embedded(args.tilematrixset)
     tm_ids = json.loads(args.tilematrices)
     config = SnapConfig(
         keep_points_and_lines=args.keep_points_and_lines,

@@ -13,7 +13,9 @@ literal decimals because deeper levels are truncated, not exact halves.
 
 from __future__ import annotations
 
+import json
 import math
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -72,6 +74,50 @@ class CRS:
 
 
 @dataclass(frozen=True)
+class WKTCRS:
+    """CRS given as a ProjJSON 'wkt' object (tms20.go:316-394)."""
+
+    authority_name: str = ""
+    authority_code: str = ""
+    description: str = ""
+    raw_wkt: dict | None = None
+
+    @property
+    def authority(self) -> str:
+        return self.authority_name
+
+    @property
+    def version(self) -> str:
+        return ""
+
+    @property
+    def code(self) -> str:
+        return self.authority_code
+
+
+@dataclass(frozen=True)
+class ReferenceSystemCRS:
+    """CRS given as an ISO 19115 referenceSystem object (tms20.go:395-446):
+    axis metadata is not derivable, accessors raise like the reference's
+    'not implemented' panics."""
+
+    description: str = ""
+    raw_reference_system: dict | None = None
+
+    @property
+    def authority(self) -> str:
+        raise NotImplementedError("ReferenceSystemCRS.Authority()")
+
+    @property
+    def version(self) -> str:
+        raise NotImplementedError("ReferenceSystemCRS.Version()")
+
+    @property
+    def code(self) -> str:
+        raise NotImplementedError("ReferenceSystemCRS.Code()")
+
+
+@dataclass(frozen=True)
 class TileMatrix:
     id: str
     scale_denominator: float
@@ -82,6 +128,12 @@ class TileMatrix:
     matrix_width: int = 1
     matrix_height: int = 1
     corner_of_origin: str = TOP_LEFT
+    # optional OGC metadata (kept for lossless JSON round-trips)
+    title: str = ""
+    description: str = ""
+    keywords: tuple[str, ...] = ()
+    corner_explicit: bool = False  # cornerOfOrigin present in the source JSON
+    variable_matrix_widths: tuple = ()
 
 
 @dataclass(frozen=True)
@@ -90,6 +142,15 @@ class TileMatrixSet:
     crs: CRS
     ordered_axes: tuple[str, ...]
     tile_matrices: dict[int, TileMatrix] = field(default_factory=dict)
+    # optional OGC metadata (kept for lossless JSON round-trips)
+    title: str = ""
+    description: str = ""
+    keywords: tuple[str, ...] = ()
+    uri: str = ""
+    well_known_scale_set: str = ""
+    bounding_box: dict | None = None
+    crs_as_string: bool = True
+    crs_description: str = ""
 
     # -- axis order (tms20.go:504-554) ------------------------------------
     def srid(self) -> int:
@@ -265,111 +326,231 @@ def deviation_stats(tms: TileMatrixSet, deepest_tm_id: int) -> tuple[float, floa
     return dev_units, dev_pixels
 
 
-def _quad_grid(
-    tms_id: str,
-    crs_uri: str,
-    ordered_axes: tuple[str, ...],
-    origin: tuple[float, float],
-    cell_sizes: list[float],
-    scale_denominators: list[float] | None = None,
-    tile_size: int = 256,
-    corner: str = TOP_LEFT,
-) -> TileMatrixSet:
-    matrices = {}
-    for z, cs in enumerate(cell_sizes):
-        sd = scale_denominators[z] if scale_denominators else cs / STANDARDIZED_RENDERING_PIXEL_SIZE
-        matrices[z] = TileMatrix(
-            id=str(z),
-            scale_denominator=sd,
-            cell_size=cs,
-            point_of_origin=origin,
-            tile_width=tile_size,
-            tile_height=tile_size,
-            matrix_width=1 << z,
-            matrix_height=1 << z,
-            corner_of_origin=corner,
-        )
-    return TileMatrixSet(id=tms_id, crs=CRS(crs_uri), ordered_axes=ordered_axes, tile_matrices=matrices)
+# -- OGC TMS 2.0 JSON loading (tms20.go:42-223) -----------------------------
+
+_TMS_DIR = os.path.join(os.path.dirname(__file__), "tilematrixsets")
+_EMBEDDED_CACHE: dict[str, TileMatrixSet] = {}
 
 
-# Cell sizes as published in the OGC TMS 2.0 registry (deep levels are
-# truncated decimals there, so they are data, not computed halves).
-_WEB_MERCATOR_CELL_SIZES = [
-    156543.033928041, 78271.5169640204, 39135.7584820102, 19567.8792410051,
-    9783.93962050256, 4891.96981025128, 2445.98490512564, 1222.99245256282,
-    611.49622628141, 305.748113140704, 152.874056570352, 76.4370282851762,
-    38.2185141425881, 19.109257071294, 9.55462853564703, 4.77731426782351,
-    2.38865713391175, 1.19432856695587, 0.597164283477939, 0.29858214173897,
-    0.149291070869485, 0.0746455354347424, 0.0373227677173712,
-    0.0186613838586856, 0.0093306919293428,
-]
-_WEB_MERCATOR_SCALE_DENOMS = [
-    559082264.028717, 279541132.014358, 139770566.007179, 69885283.0035897,
-    34942641.5017948, 17471320.7508974, 8735660.37544871, 4367830.18772435,
-    2183915.09386217, 1091957.54693108, 545978.773465544, 272989.386732772,
-    136494.693366386, 68247.346683193, 34123.6733415964, 17061.8366707982,
-    8530.91833539913, 4265.45916769956, 2132.72958384978, 1066.36479192489,
-    533.182395962445, 266.591197981222, 133.295598990611, 66.6477994953056,
-    33.3238997476528,
-]
-_RD_CELL_SIZES = [
-    3440.64, 1720.32, 860.16, 430.08, 215.04, 107.52, 53.76, 26.88, 13.44,
-    6.72, 3.36, 1.68, 0.84, 0.42, 0.21, 0.105, 0.0525,
-]
-_RD_SCALE_DENOMS = [
-    12288000.0, 6144000.0, 3072000.0, 1536000.0, 768000.0, 384000.0,
-    192000.0, 96000.0, 48000.0, 24000.0, 12000.0, 6000.0, 3000.0, 1500.0,
-    750.0, 375.0, 187.5,
-]
-_LAEA_CELL_SIZES = [
-    17578.125, 8789.0625, 4394.53125, 2197.265625, 1098.6328125,
-    549.31640625, 274.658203125, 137.3291015625, 68.6645507812,
-    34.3322753906, 17.1661376953, 8.5830688477, 4.2915344238, 2.1457672119,
-    1.072883606, 0.536441803,
-]
-
-_EMBEDDED: dict[str, TileMatrixSet] = {}
-
-
-def _register(tms: TileMatrixSet) -> TileMatrixSet:
-    _EMBEDDED[tms.id] = tms
-    return tms
-
-
-NETHERLANDS_RD_NEW_QUAD = _register(_quad_grid(
-    "NetherlandsRDNewQuad",
-    "http://www.opengis.net/def/crs/EPSG/0/28992",
-    ("X", "Y"),
-    (-285401.92, 903401.92),
-    _RD_CELL_SIZES,
-    _RD_SCALE_DENOMS,
-))
-WEB_MERCATOR_QUAD = _register(_quad_grid(
-    "WebMercatorQuad",
-    "http://www.opengis.net/def/crs/EPSG/0/3857",
-    ("X", "Y"),
-    (-20037508.3427892, 20037508.3427892),
-    _WEB_MERCATOR_CELL_SIZES,
-    _WEB_MERCATOR_SCALE_DENOMS,
-))
-EUROPEAN_ETRS89_LAEA_QUAD = _register(_quad_grid(
-    "EuropeanETRS89_LAEAQuad",
-    "http://www.opengis.net/def/crs/EPSG/0/3035",
-    ("Y", "X"),
-    (5500000.0, 2000000.0),
-    _LAEA_CELL_SIZES,
-))
-WORLD_MERCATOR_WGS84_QUAD = _register(_quad_grid(
-    "WorldMercatorWGS84Quad",
-    "http://www.opengis.net/def/crs/EPSG/0/3395",
-    ("E", "N"),
-    (-20037508.3427892, 20037508.3427892),
-    _WEB_MERCATOR_CELL_SIZES,
-))
+def embedded_tile_matrix_set_ids() -> list[str]:
+    """IDs of all embedded OGC registry grids (14 shipped)."""
+    return sorted(
+        f[: -len(".json")] for f in os.listdir(_TMS_DIR) if f.endswith(".json")
+    )
 
 
 def load_embedded(tms_id: str) -> TileMatrixSet:
-    return _EMBEDDED[tms_id]
+    """tms20.LoadEmbeddedTileMatrixSet (tms20.go:56-72), cached."""
+    cached = _EMBEDDED_CACHE.get(tms_id)
+    if cached is not None:
+        return cached
+    path = os.path.join(_TMS_DIR, tms_id + ".json")
+    tms = load_json_tile_matrix_set(path)
+    _EMBEDDED_CACHE[tms_id] = tms
+    return tms
+
+
+def load_json_tile_matrix_set(path: str) -> TileMatrixSet:
+    """tms20.LoadJSONTileMatrixSet (tms20.go:42-54): read, parse, validate."""
+    with open(path, encoding="utf-8") as f:
+        return parse_tile_matrix_set(json.load(f))
+
+
+def _parse_crs(raw):
+    """tms20.unmarshalCRS (tms20.go:185-223): oneOf uri-string | {uri} |
+    {wkt: ProjJSON} | {referenceSystem}; returns (crs, as_string, descr)."""
+    if isinstance(raw, str):
+        raw = {"uri": raw}
+        as_string = True
+    else:
+        as_string = False
+    if not isinstance(raw, dict):
+        raise ValueError(f'wrong type key "crs": {type(raw).__name__}')
+    description = raw.get("description", "")
+    if not isinstance(description, str):
+        raise ValueError("description property is not a string")
+    if "uri" in raw:
+        uri = raw["uri"]
+        if not isinstance(uri, str):
+            raise ValueError("uri property is not a string")
+        crs = CRS(uri)
+        if not crs.authority and not crs.code:
+            raise ValueError(f'could not parse crs uri "{uri}"')
+        if not crs.authority or not crs.code:
+            raise ValueError(f'invalid crs uri "{uri}"')
+        return crs, as_string, description
+    if "wkt" in raw:
+        wkt = raw["wkt"]
+        if not isinstance(wkt, dict):
+            raise ValueError("wkt property is not an object")
+        pid = wkt.get("id")
+        if not isinstance(pid, dict) or not pid.get("authority") or not pid.get("code"):
+            raise ValueError(f'could not parse wkt as ProjJSON "{wkt}"')
+        return (
+            WKTCRS(str(pid["authority"]), str(pid["code"]), description, wkt),
+            False,
+            description,
+        )
+    if "referenceSystem" in raw:
+        rs = raw["referenceSystem"]
+        if not isinstance(rs, dict):
+            raise ValueError("referenceSystem property is not an object")
+        return ReferenceSystemCRS(description, rs), False, description
+    raise ValueError("could not unmarshal crs into any CRS type")
+
+
+def _parse_tile_matrix(raw: dict) -> TileMatrix:
+    """TileMatrix unmarshal + validation (tms20.go:556-610)."""
+    if not isinstance(raw, dict):
+        raise ValueError('"tileMatrices" should be objects')
+    tm_id = raw.get("id")
+    if not tm_id or not isinstance(tm_id, str):
+        raise ValueError("tile matrix id is required")
+    scale = raw.get("scaleDenominator")
+    cell = raw.get("cellSize")
+    if not isinstance(scale, (int, float)) or scale <= 0:
+        raise ValueError(f"scaleDenominator required and > 0 for tile matrix {tm_id}")
+    if not isinstance(cell, (int, float)) or cell <= 0:
+        raise ValueError(f"cellSize required and > 0 for tile matrix {tm_id}")
+    origin = raw.get("pointOfOrigin")
+    if not isinstance(origin, list) or len(origin) != 2:
+        raise ValueError(f"pointOfOrigin required for tile matrix {tm_id}")
+    corner = raw.get("cornerOfOrigin")
+    if corner is not None and corner not in (TOP_LEFT, BOTTOM_LEFT):
+        raise ValueError(f"cornerOfOrigin must be topLeft or bottomLeft: {corner}")
+    dims = {}
+    for key in ("tileWidth", "tileHeight", "matrixWidth", "matrixHeight"):
+        v = raw.get(key)
+        if not isinstance(v, int) or isinstance(v, bool) or v < 1:
+            raise ValueError(f"{key} required and >= 1 for tile matrix {tm_id}")
+        dims[key] = v
+    return TileMatrix(
+        id=tm_id,
+        scale_denominator=float(scale),
+        cell_size=float(cell),
+        point_of_origin=(float(origin[0]), float(origin[1])),
+        tile_width=dims["tileWidth"],
+        tile_height=dims["tileHeight"],
+        matrix_width=dims["matrixWidth"],
+        matrix_height=dims["matrixHeight"],
+        corner_of_origin=corner or TOP_LEFT,
+        title=raw.get("title", ""),
+        description=raw.get("description", ""),
+        keywords=tuple(raw.get("keywords", ())),
+        corner_explicit=corner is not None,
+        variable_matrix_widths=tuple(
+            (int(v["coalesce"]), int(v["minTileRow"]), int(v["maxTileRow"]))
+            for v in raw.get("variableMatrixWidths", ())
+        ),
+    )
+
+
+def parse_tile_matrix_set(doc: dict) -> TileMatrixSet:
+    """TileMatrixSet unmarshal + validation (tms20.go:124-182)."""
+    if "crs" not in doc:
+        raise ValueError('missing key "crs"')
+    crs, as_string, crs_description = _parse_crs(doc["crs"])
+    if "tileMatrices" not in doc:
+        raise ValueError('missing key "tileMatrices"')
+    raw_tms = doc["tileMatrices"]
+    if not isinstance(raw_tms, list):
+        raise ValueError('"tileMatrices" should be an array')
+    if len(raw_tms) < 1:
+        raise ValueError("at least one tile matrix is required")
+    tile_matrices: dict[int, TileMatrix] = {}
+    for raw_tm in raw_tms:
+        tm = _parse_tile_matrix(raw_tm)
+        try:
+            tm_id = int(tm.id)
+        except ValueError as e:
+            raise ValueError(
+                f"only integer-like ids are supported for tile matrices: {tm.id}"
+            ) from e
+        tile_matrices[tm_id] = tm
+    ordered_axes = doc.get("orderedAxes")
+    if ordered_axes is not None and len(ordered_axes) < 1:
+        raise ValueError("orderedAxes must have at least one axis when present")
+    return TileMatrixSet(
+        id=doc.get("id", ""),
+        crs=crs,
+        ordered_axes=tuple(ordered_axes) if ordered_axes is not None else (),
+        tile_matrices=tile_matrices,
+        title=doc.get("title", ""),
+        description=doc.get("description", ""),
+        keywords=tuple(doc.get("keywords", ())),
+        uri=doc.get("uri", ""),
+        well_known_scale_set=doc.get("wellKnownScaleSet", ""),
+        bounding_box=doc.get("boundingBox"),
+        crs_as_string=as_string,
+        crs_description=crs_description,
+    )
+
+
+def tile_matrix_set_to_json_dict(tms: TileMatrixSet) -> dict:
+    """Marshal back to the OGC JSON shape (tms20.go:101-122): used to pin
+    lossless round-trips of all embedded grids in tests."""
+    out: dict = {}
+    if tms.id:
+        out["id"] = tms.id
+    if tms.title:
+        out["title"] = tms.title
+    if tms.description:
+        out["description"] = tms.description
+    if tms.keywords:
+        out["keywords"] = list(tms.keywords)
+    if tms.uri:
+        out["uri"] = tms.uri
+    if tms.ordered_axes:
+        out["orderedAxes"] = list(tms.ordered_axes)
+    if tms.well_known_scale_set:
+        out["wellKnownScaleSet"] = tms.well_known_scale_set
+    if tms.bounding_box is not None:
+        out["boundingBox"] = tms.bounding_box
+    if isinstance(tms.crs, CRS):
+        if tms.crs_as_string:
+            out["crs"] = tms.crs.uri
+        else:
+            crs_d: dict = {"uri": tms.crs.uri}
+            if tms.crs_description:
+                crs_d["description"] = tms.crs_description
+            out["crs"] = crs_d
+    elif isinstance(tms.crs, WKTCRS):
+        crs_d = {"wkt": tms.crs.raw_wkt}
+        if tms.crs.description:
+            crs_d["description"] = tms.crs.description
+        out["crs"] = crs_d
+    else:
+        crs_d = {"referenceSystem": tms.crs.raw_reference_system}
+        if tms.crs.description:
+            crs_d["description"] = tms.crs.description
+        out["crs"] = crs_d
+    tms_list = []
+    for tm_id in sorted(tms.tile_matrices):
+        tm = tms.tile_matrices[tm_id]
+        d: dict = {"id": tm.id}
+        if tm.title:
+            d["title"] = tm.title
+        if tm.description:
+            d["description"] = tm.description
+        if tm.keywords:
+            d["keywords"] = list(tm.keywords)
+        d["scaleDenominator"] = tm.scale_denominator
+        d["cellSize"] = tm.cell_size
+        if tm.corner_explicit or tm.corner_of_origin != TOP_LEFT:
+            d["cornerOfOrigin"] = tm.corner_of_origin
+        d["pointOfOrigin"] = list(tm.point_of_origin)
+        d["tileWidth"] = tm.tile_width
+        d["tileHeight"] = tm.tile_height
+        d["matrixWidth"] = tm.matrix_width
+        d["matrixHeight"] = tm.matrix_height
+        if tm.variable_matrix_widths:
+            d["variableMatrixWidths"] = [
+                {"coalesce": c, "minTileRow": lo, "maxTileRow": hi}
+                for c, lo, hi in tm.variable_matrix_widths
+            ]
+        tms_list.append(d)
+    out["tileMatrices"] = tms_list
+    return out
 
 
 def simple_tms(deepest_tm_id: int, cell_size: float) -> TileMatrixSet:

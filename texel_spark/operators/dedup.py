@@ -236,21 +236,34 @@ def minhash_lsh_candidates(
 
 @pandas_udf(LongType())
 def simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (vectorized bit-count)."""
+    """64-bit SimHash over whitespace tokens.
+
+    The whole Arrow batch is processed with flat numpy passes (mirroring
+    minhash_signature): all tokens of all documents are hashed once, the
+    +-1 bit votes are summed per document with add.reduceat - no
+    per-document Python loop.
+    """
     import numpy as np
 
-    out = np.empty(len(text), dtype=np.int64)
+    n_docs = len(text)
+    tok_lists = [(t or "").split() for t in text]
+    lengths = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
+    flat: list = []
+    for ts in tok_lists:
+        flat.extend(ts)
+    out = np.zeros(n_docs, dtype=np.int64)
+    if not flat:
+        return pd.Series(out)
+    hs = _hash64_np(flat)  # (S,)
     bits = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(text):
-        toks = (t or "").split()
-        if not toks:
-            out[i] = 0
-            continue
-        hs = _hash64_np(toks)  # (n,)
-        bitmat = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)  # (n, 64)
-        v = (2 * bitmat - 1).sum(axis=0)
-        sim = int(((v > 0).astype(np.uint64) << bits).sum(dtype=np.uint64)) & _MASK64
-        out[i] = sim - (1 << 64) if sim >= (1 << 63) else sim
+    bitmat = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)  # (S, 64)
+    votes = 2 * bitmat - 1
+    nonempty = lengths > 0
+    offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+    np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
+    sums = np.add.reduceat(votes, offsets, axis=0)  # (D_nonempty, 64)
+    sims = ((sums > 0).astype(np.uint64) << bits[None, :]).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = sims.astype(np.int64)  # two's complement wrap == Go/Java long
     return pd.Series(out)
 
 

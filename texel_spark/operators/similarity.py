@@ -111,7 +111,15 @@ def ivf_cosine_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 20) -> D
 
 
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within coarse cells."""
+    """Embedding-cosine near-duplicate pairs within coarse cells.
+
+    Near-identical vectors share all first-8-dim signs (unless a dim sits
+    at ~0), so the cell equi-join replaces the all-pairs cross join - the
+    same linear-cost shape as ivf_cosine_topk.  Output is the id pairs
+    only (no float column), so the DuckDB oracle compares hash-exactly;
+    tests/test_spark_ops.py plants >=0.95-cosine pairs and asserts exact
+    recovery at the default threshold.
+    """
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v")).withColumn(
         "cell", _grid_cell("v")
     )
@@ -125,5 +133,19 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95) -> DataFr
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("sim", sim)
         .where(F.col("sim") >= threshold)
-        .select("id_a", "id_b", F.round("sim", 4).alias("sim_r"))
+        .select("id_a", "id_b")
     )
+
+
+def embedding_near_dup_sql(threshold: float = 0.95) -> str:
+    cell = " + ".join(f"(CASE WHEN v[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8))
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cells AS (SELECT vec_id, v, {cell} AS cell FROM emb)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM cells a JOIN cells b USING (cell)
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= CAST({threshold} AS DOUBLE)
+"""

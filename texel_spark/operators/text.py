@@ -84,21 +84,28 @@ FROM documents GROUP BY lang
 """
 
 
-@pandas_udf(LongType())
-def rolling_fingerprint(text: pd.Series) -> pd.Series:
-    """Polynomial rolling-hash document fingerprint (base 257 mod 2^61-1),
-    Arrow-batched; stable across runs/executors."""
-    import numpy as np
-
-    p = (1 << 61) - 1
-    out = np.empty(len(text), dtype=np.int64)
-    for i, t in enumerate(text):
-        h = 0
-        for b in (t or "").encode():
-            h = (h * 257 + b) % p
-        out[i] = h
-    return pd.Series(out)
+def doc_fingerprints(documents: DataFrame, k: int = 32, stride: int = 16) -> DataFrame:
+    """Winnowing-style k-gram document fingerprints: the md5 of every
+    k-char window sampled each ``stride`` chars (gram_idx = window
+    ordinal).  Entirely JVM-side column expressions (sequence/transform/
+    md5 inside whole-stage codegen) - no Python worker; the fingerprint
+    family only needs uniqueness, so a cryptographic hash of the window
+    replaces a Python-loop rolling polynomial at ~0 cost.
+    """
+    n = F.length("text")
+    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), n - k + 1), F.lit(stride))
+    grams = F.transform(starts, lambda i: F.substring(F.md5(F.col("text").substr(i, F.lit(k))), 1, 16))
+    return documents.select("doc_id", F.posexplode(grams).alias("gram_idx", "fingerprint"))
 
 
-def doc_fingerprints(documents: DataFrame) -> DataFrame:
-    return documents.select("doc_id", rolling_fingerprint("text").alias("fingerprint"))
+def doc_fingerprints_sql(k: int = 32, stride: int = 16) -> str:
+    return f"""
+WITH wins AS (
+  SELECT doc_id, text,
+         (GREATEST(1, length(text) - {k} + 1) - 1) // {stride} + 1 AS n_wins
+  FROM documents
+)
+SELECT doc_id, CAST(i.i AS INT) AS gram_idx,
+       substr(md5(substr(text, CAST(1 + i.i * {stride} AS INT), {k})), 1, 16) AS fingerprint
+FROM wins, LATERAL (SELECT UNNEST(range(0, n_wins)) AS i) i
+"""

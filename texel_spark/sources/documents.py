@@ -86,14 +86,16 @@ def _rands(doc_index: int, n: int, salt: int = 0):
     return out
 
 
-def _geom_wkt_for(doc_index: int, slot: int) -> str:
-    """Deterministic polygon inside the RD extent: a quadrilateral with a
-    hash-positioned centre, hash-sized radius, sometimes with a hole."""
-    if doc_index % 20 == 0:
+def _geom_wkt_for(doc_index: int, slot: int, extent=None) -> str:
+    """Deterministic polygon inside the extent (default: RD): a
+    quadrilateral with a hash-positioned centre, hash-sized radius,
+    sometimes with a hole.  The golden reference polygon is only mixed in
+    for the default (RD) extent."""
+    if extent is None and doc_index % 20 == 0:
         rings = GOLDEN_POLYGON
     else:
         h = _rands(doc_index, 6, salt=slot + 1)
-        min_x, min_y, max_x, max_y = RD_EXTENT
+        min_x, min_y, max_x, max_y = extent or RD_EXTENT
         # keep away from the border so snapping never exits the grid
         cx = min_x + 10_000 + (h[0] % int(max_x - min_x - 20_000))
         cy = min_y + 10_000 + (h[1] % int(max_y - min_y - 20_000))
@@ -121,7 +123,7 @@ def _geom_wkt_for(doc_index: int, slot: int) -> str:
     return polygon_to_wkt(rings)
 
 
-def build_document(doc_index: int) -> tuple[str, list]:
+def build_document(doc_index: int, extent=None) -> tuple[str, list]:
     """One deterministic interleaved document."""
     h = _rands(doc_index, 3)
     n_spans = 1 + h[0] % 8
@@ -135,21 +137,25 @@ def build_document(doc_index: int) -> tuple[str, list]:
         elif kind_roll < 7:
             spans.append(("media", None, f"img://doc{doc_index}/{i}", i))
         else:
-            spans.append(("geom", _geom_wkt_for(doc_index, i), None, i))
+            spans.append(("geom", _geom_wkt_for(doc_index, i, extent), None, i))
     # guarantee at least one geometry span in a deterministic subset
     if doc_index % 5 == 0 and not any(s[0] == "geom" for s in spans):
-        spans.append(("geom", _geom_wkt_for(doc_index, 99), None, len(spans)))
+        spans.append(("geom", _geom_wkt_for(doc_index, 99, extent), None, len(spans)))
     return (f"doc-{doc_index:09d}", spans)
 
 
-def synth_documents(spark: SparkSession, n_docs: int, partitions: int | None = None) -> DataFrame:
-    """Deterministic synthetic interleaved-document table."""
+def synth_documents(
+    spark: SparkSession, n_docs: int, partitions: int | None = None, extent=None
+) -> DataFrame:
+    """Deterministic synthetic interleaved-document table; ``extent``
+    places the geometry spans in another grid's native bounds (default:
+    Netherlands RD)."""
 
     def gen(batches):
         import pandas as pd
 
         for pdf in batches:
-            rows = [build_document(int(i)) for i in pdf["id"]]
+            rows = [build_document(int(i), extent) for i in pdf["id"]]
             yield pd.DataFrame({"doc_id": [r[0] for r in rows], "spans": [r[1] for r in rows]})
 
     rng = spark.range(n_docs, numPartitions=partitions)
