@@ -164,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.EXACT_DUPLICATES_SQL,
         "dedup_fingerprint": dedup.FINGERPRINT_DUPLICATES_SQL,
         "ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
+        "minhash_lsh": dedup.minhash_lsh_sql(),
         "text_stats": text.text_stats_sql(),
         "lang_stopword_score": text.lang_stopword_score_sql(),
         "doc_fingerprints": text.doc_fingerprints_sql(),

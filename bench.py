@@ -88,9 +88,17 @@ def main() -> None:
     run("ngram_jaccard", dedup.ngram_jaccard_pairs(t("documents")))
     run("minhash_lsh", dedup.minhash_lsh_candidates(t("documents")))
     run("text_stats", text.text_stats(t("documents")))
+    run("doc_fingerprints", text.doc_fingerprints(t("documents")))
     run("cosine_topk", similarity.cosine_topk(t("embeddings")))
+    run("ivf_cosine_topk", similarity.ivf_cosine_topk(t("embeddings")))
     run("hourly_rollup", events.hourly_rollup(t("events")))
     run("sessionize", events.sessionize(t("events")))
+
+    # ANN quality: recall@k of the IVF path vs the exact scan (VERDICT r1
+    # item 8) - a fast-but-blind ANN would otherwise look like a win
+    exact_nn = {(r["query_id"], r["neighbor_id"]) for r in similarity.cosine_topk(t("embeddings")).collect()}
+    ivf_nn = {(r["query_id"], r["neighbor_id"]) for r in similarity.ivf_cosine_topk(t("embeddings")).collect()}
+    ann_recall = round(len(exact_nn & ivf_nn) / max(1, len(exact_nn)), 3)
 
     headline = ["snap_pipeline", "pip_join", "knn_join"]
     headline_rows = sum(rows[q] for q in headline)
@@ -110,6 +118,7 @@ def main() -> None:
                 "n_docs": n_docs,
                 "headline_rows": headline_rows,
                 "headline_secs": round(headline_secs, 3),
+                "ann_recall_at_5": ann_recall,
             }
         )
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import LongType
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
@@ -146,50 +146,17 @@ def _hash64_np(arr):
     return pd.util.hash_array(np.asarray(arr, dtype=object), hash_key="texel-spark-hash").astype(np.uint64)
 
 
-@pandas_udf(ArrayType(LongType()))
-def minhash_signature(shingles: pd.Series) -> pd.Series:
-    """128-perm MinHash signature per doc from its shingle array.
+_MINHASH_P = 2147483647  # 2^31 - 1: (a*h + b) stays under 2^63 for 32-bit h
 
-    Permutations are (a*h + b) over a single base hash - the standard
-    composable construction.  The whole Arrow batch is processed with
-    three numpy ops (hash all shingles once, broadcast the perms in
-    chunks, segment-min via minimum.reduceat) - no per-document loop.
-    """
+
+def _minhash_perms(n_perm: int = 128) -> tuple[list[int], list[int]]:
+    """Deterministic permutation coefficients (a*h + b) mod 2^31-1."""
     import numpy as np
 
-    n_perm = 128
     rng = np.random.default_rng(42)
-    a = rng.integers(1, (1 << 61) - 1, size=n_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, (1 << 61) - 1, size=n_perm, dtype=np.int64).astype(np.uint64)
-
-    lengths = np.array([0 if sh is None else len(sh) for sh in shingles], dtype=np.int64)
-    flat: list = []
-    for sh in shingles:
-        if sh is not None and len(sh):
-            flat.extend(sh)
-    if not flat:
-        return pd.Series([[0] * n_perm for _ in range(len(shingles))])
-    base = _hash64_np(flat)  # (S,)
-
-    nonempty = lengths > 0
-    offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
-    np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
-    sigs = np.empty((n_perm, len(offsets)), dtype=np.uint64)
-    chunk = 16  # perms per pass: bounds the (chunk x S) temp matrix
-    for i in range(0, n_perm, chunk):
-        perm = a[i : i + chunk, None] * base[None, :] + b[i : i + chunk, None]
-        sigs[i : i + chunk] = np.minimum.reduceat(perm, offsets, axis=1)
-
-    out = []
-    j = 0
-    zero = [0] * n_perm
-    for ln in lengths:
-        if ln == 0:
-            out.append(zero)
-        else:
-            out.append(sigs[:, j].astype(np.int64).tolist())
-            j += 1
-    return pd.Series(out)
+    a = rng.integers(1, _MINHASH_P - 1, size=n_perm).tolist()
+    b = rng.integers(0, _MINHASH_P - 1, size=n_perm).tolist()
+    return a, b
 
 
 def minhash_lsh_candidates(
@@ -197,20 +164,39 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates - the 10^12-doc scale path.
 
-    shingle -> 128-perm signature (Arrow-vectorized) -> band buckets ->
-    bucket equi-join.  Cost is linear in corpus size + bucket collisions;
-    verify candidates with ngram_jaccard on the candidate set only.
+    shingles -> md5-based 32-bit base hash -> 128 permutation minima ->
+    band buckets -> bucket equi-join.  The whole signature stage is JVM
+    column expressions inside whole-stage codegen (no Python worker): the
+    base hash is the first 8 md5 hex chars, permutations are
+    (a*h + b) mod 2^31-1, both exactly reproducible in ANSI SQL, so this
+    operator carries a full DuckDB oracle (minhash_lsh_sql).  Cost is
+    linear in corpus size + bucket collisions; verify candidates with
+    ngram_jaccard on the candidate set only.
     """
-    # the signature stage is Python-CPU-bound: fan the input out to the
-    # cluster's parallelism regardless of how few files the scan produced
-    par = documents.sparkSession.sparkContext.defaultParallelism
-    documents = documents.repartition(par)
+    n_perm = bands * rows_per_band
+    a, b = _minhash_perms(n_perm)
     toks = F.split(F.col("text"), " ")
     sh = F.array_distinct(
         F.transform(F.sequence(F.lit(0), F.size(toks) - n), lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     )
-    sigs = documents.where(F.size(toks) >= n).select(
-        "doc_id", minhash_signature(sh).alias("sig")
+    base_h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    # one min-aggregate per permutation: declarative aggregation keeps the
+    # whole stage in codegen AND gets map-side combine for free - the
+    # shuffle carries exactly one 128-long signature row per document,
+    # never the exploded shingles
+    hrows = (
+        documents.where(F.size(toks) >= n)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .select("doc_id", base_h.alias("h"))
+    )
+    mins = [
+        F.min((F.lit(a[i]) * F.col("h") + F.lit(b[i])) % F.lit(_MINHASH_P)).alias(f"m{i}")
+        for i in range(n_perm)
+    ]
+    sigs = (
+        hrows.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[f"m{i}" for i in range(n_perm)]).alias("sig"))
     )
     banded = sigs.select(
         "doc_id",
@@ -224,14 +210,55 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    a_ = banded.alias("a")
+    b_ = banded.alias("b")
     return (
-        a.join(b, ["band", "bucket"])
+        a_.join(b_, ["band", "bucket"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def minhash_lsh_sql(n: int = 3, bands: int = 32, rows_per_band: int = 4) -> str:
+    """DuckDB twin of minhash_lsh_candidates (bit-exact signatures)."""
+    n_perm = bands * rows_per_band
+    a, b = _minhash_perms(n_perm)
+    a_lst = "[" + ",".join(str(x) for x in a) + "]"
+    b_lst = "[" + ",".join(str(x) for x in b) + "]"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= {n}
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i.i + 1 : i.i + {n}], ' ') AS shingle
+  FROM toks, LATERAL (SELECT UNNEST(range(0, len(t) - {n} + 1)) AS i) i
+),
+hs AS (
+  SELECT doc_id, CAST(CONCAT('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  FROM sh
+),
+perms AS (
+  SELECT UNNEST(range(0, {n_perm})) AS i, UNNEST({a_lst}) AS a, UNNEST({b_lst}) AS b
+),
+mins AS (
+  SELECT hs.doc_id, p.i, MIN((p.a * hs.h + p.b) % {_MINHASH_P}) AS m
+  FROM hs CROSS JOIN perms p GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id, list(m ORDER BY i) AS s FROM mins GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, b.b AS band,
+         md5(CAST(to_json(s[CAST(b.b * {rows_per_band} + 1 AS INT)
+                            : CAST((b.b + 1) * {rows_per_band} AS INT)]) AS VARCHAR)) AS bucket
+  FROM sig, LATERAL (SELECT UNNEST(range(0, {bands})) AS b) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b USING (band, bucket)
+WHERE a.doc_id < b.doc_id
+"""
 
 
 @pandas_udf(LongType())

@@ -406,40 +406,114 @@ FROM ranked WHERE rnk <= {k}
 """
 
 
-def knn_join_grid(events: DataFrame, nation: DataFrame, k: int = 3, n_queries: int = 2000, cell: float = 250_000.0) -> DataFrame:
-    """kNN via cell-neighborhood candidate join - the 100 TB scale path.
+def knn_join_grid(
+    events: DataFrame,
+    nation: DataFrame,
+    k: int = 3,
+    n_queries: int = 2000,
+    cell: float = 250_000.0,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Exact kNN via expanding-ring cell-neighborhood search - the 100 TB
+    scale path, exact at ANY density (no cell-size tuning needed).
 
-    Both sides bucket into a coarse grid; each query joins only its 3x3
-    cell neighborhood (an equi-join on cell key, shuffle- and
-    broadcast-friendly), then a window takes the top k.  Exact whenever
-    the k-th neighbour lies within one cell ring of the query - pick the
-    cell size >= the expected k-NN radius; tests/test_spark_ops pins
-    agreement with the exact operator on the test density.
+    Both sides bucket into a coarse grid.  Round r joins each unresolved
+    query against its (2r+1)^2 cell neighborhood (an equi-join on cell
+    key, shuffle- and broadcast-friendly) and takes the window top-k.  A
+    query is PROVABLY resolved when it found >= k candidates and its
+    k-th distance <= r*cell: any point in a cell at Chebyshev cell
+    distance > r is farther than r*cell away.  Unresolved queries (too
+    few/too far neighbors) re-join with a doubled ring; the loop is
+    bounded by log2(grid span) rounds and ends with a ring covering the
+    whole corpus extent, so correctness never depends on the cell size.
+
+    Driver-side state is only aggregates (corpus cell bounds, emptiness
+    checks); all candidate generation/scoring is distributed.
     """
     pts = points_from_events(events).where(F.col("event_id") < n_queries)
     cents = triangles_from_nation(nation).select("nationkey", "cx", "cy")
-    q = pts.select(
-        "event_id",
-        "px",
-        "py",
-        F.floor(F.col("px") / cell).alias("gx"),
-        F.floor(F.col("py") / cell).alias("gy"),
-    ).withColumn("gx", F.explode(F.sequence(F.col("gx") - 1, F.col("gx") + 1))).withColumn(
-        "gy", F.explode(F.sequence(F.col("gy") - 1, F.col("gy") + 1))
-    )
     c = cents.select(
         "nationkey",
         "cx",
         "cy",
         F.floor(F.col("cx") / cell).alias("gx"),
         F.floor(F.col("cy") / cell).alias("gy"),
+    ).cache()
+    # corpus cell bounds: once the ring spans them, the search is a full
+    # scan for that query and therefore exact by exhaustion
+    b = c.agg(
+        F.min("gx").alias("x0"), F.max("gx").alias("x1"),
+        F.min("gy").alias("y0"), F.max("gy").alias("y1"),
+    ).collect()[0]
+    span_cells = max(int(b["x1"] - b["x0"]), int(b["y1"] - b["y0"])) + 1
+
+    q0 = pts.select(
+        "event_id",
+        "px",
+        "py",
+        F.floor(F.col("px") / cell).alias("qgx"),
+        F.floor(F.col("py") / cell).alias("qgy"),
     )
     d = (F.col("px") - F.col("cx")) * (F.col("px") - F.col("cx")) + (F.col("py") - F.col("cy")) * (F.col("py") - F.col("cy"))
     w = Window.partitionBy("event_id").orderBy(F.col("dist").asc(), F.col("nationkey").asc())
-    return (
-        q.join(c, ["gx", "gy"])
-        .withColumn("dist", d)
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("event_id", "nationkey", "rnk")
-    )
+
+    unresolved = q0.cache()
+    resolved_parts: list[DataFrame] = []
+    r = 1
+    for _ in range(max_rounds):
+        if r >= span_cells:
+            # ring spans the whole corpus: search it directly (the
+            # unresolved tail is small by now - no point exploding cells)
+            topk = (
+                unresolved.crossJoin(c.select("nationkey", "cx", "cy"))
+                .withColumn("dist", d)
+                .withColumn("rnk", F.row_number().over(w))
+                .where(F.col("rnk") <= k)
+            )
+            resolved_parts.append(topk.select("event_id", "nationkey", F.col("rnk").cast("int").alias("rnk")))
+            break
+        # ring cells clamped to the corpus bounds: empty space costs nothing
+        cand = unresolved.withColumn(
+            "gx",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("qgx") - r, F.lit(int(b["x0"]))),
+                    F.least(F.col("qgx") + r, F.lit(int(b["x1"]))),
+                )
+            ),
+        ).withColumn(
+            "gy",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("qgy") - r, F.lit(int(b["y0"]))),
+                    F.least(F.col("qgy") + r, F.lit(int(b["y1"]))),
+                )
+            ),
+        )
+        topk = (
+            cand.join(c, ["gx", "gy"])
+            .withColumn("dist", d)
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("event_id", "nationkey", F.col("rnk").cast("int").alias("rnk"), "dist")
+            .cache()
+        )
+        proof = topk.groupBy("event_id").agg(
+            F.count("*").alias("cnt"), F.max("dist").alias("kth")
+        )
+        # STRICT <: a point just outside the ring can sit at exactly
+        # r*cell (query on its cell edge, candidate on the far corner)
+        done_ids = proof.where(
+            (F.col("cnt") >= k) & (F.col("kth") < F.lit(float(r) * cell) ** 2)
+        ).select("event_id")
+        resolved_parts.append(
+            topk.join(F.broadcast(done_ids), "event_id").select("event_id", "nationkey", "rnk")
+        )
+        unresolved = unresolved.join(F.broadcast(done_ids), "event_id", "left_anti").cache()
+        if unresolved.isEmpty():
+            break
+        r = min(r * 4, span_cells)
+    out = resolved_parts[0]
+    for part in resolved_parts[1:]:
+        out = out.unionByName(part)
+    return out

@@ -8,10 +8,7 @@ bit-exactly (no float rounding to negotiate between engines).
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
 
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "for", "on", "with")
 
