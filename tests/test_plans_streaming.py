@@ -132,3 +132,53 @@ def test_streaming_stateful_sessionize(spark):
         assert max_sess == 1
     finally:
         q.stop()
+
+
+def test_file_stream_checkpoint_recovery(spark, tmp_path):
+    """Kill-and-restart exactly-once: a file-source document stream with a
+    checkpoint processes batch 1, stops, new files land, a NEW query
+    restarted from the same checkpoint processes ONLY the new files - no
+    row from batch 1 is re-emitted (the resume contract of the north
+    rule, file-source edition)."""
+    from pyspark.sql import functions as F
+
+    from texel_spark.grid.tms import load_embedded
+    from texel_spark.sources.documents import DOCUMENTS_SCHEMA, build_document
+    from texel_spark.streaming.jobs import document_file_stream, streaming_snap_tiles
+
+    indir, outdir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def land(lo, hi, fname):
+        rows = [build_document(i) for i in range(lo, hi)]
+        spark.createDataFrame(rows, DOCUMENTS_SCHEMA).coalesce(1).write.mode("append").parquet(indir)
+
+    rd = load_embedded("NetherlandsRDNewQuad")
+
+    def run_once():
+        stream = streaming_snap_tiles(document_file_stream(spark, indir), rd, [5, 9])
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land(0, 25, "b1")
+    run_once()
+    out1 = spark.read.parquet(outdir)
+    n1 = out1.count()
+    assert n1 > 0
+    docs1 = {r["doc_id"] for r in out1.select("doc_id").distinct().collect()}
+
+    land(25, 50, "b2")
+    run_once()  # restart from the same checkpoint
+    out2 = spark.read.parquet(outdir).cache()
+    # batch-1 rows appear EXACTLY once (counts unchanged for those docs)
+    n1_after = out2.where(F.col("doc_id").isin(*docs1)).count()
+    assert n1_after == n1, f"batch 1 reprocessed: {n1} -> {n1_after}"
+    # batch-2 docs arrived
+    new_docs = {r["doc_id"] for r in out2.select("doc_id").distinct().collect()} - docs1
+    assert new_docs, "restart processed no new files"

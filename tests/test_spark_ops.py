@@ -328,3 +328,42 @@ def test_ivf_recall_floor(spark):
     assert ivf <= exact or True  # ivf pairs may differ; recall is the metric
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.4, f"IVF recall collapsed: {recall:.2f}"
+
+
+def test_run_pipeline_resume_skips_completed_zooms(spark, tmp_path):
+    """Resume contract: zooms recorded in the manifest are not recomputed
+    (idempotent per-zoom dynamic overwrite; a killed run re-does only its
+    unfinished zooms)."""
+    import json
+    import os
+
+    from texel_spark.operators.snap_tiles import run_pipeline
+    from texel_spark.sources.documents import synth_documents
+
+    rd = load_embedded("NetherlandsRDNewQuad")
+    docs = synth_documents(spark, 40, partitions=2)
+    out = str(tmp_path / "pipe")
+
+    import glob
+
+    s1 = run_pipeline(docs, rd, [5], out)
+    assert s1["completed_zooms"] == [5]
+    assert set(s1["metrics"]["rows_per_zoom"]) == {5}
+    z5_files = {p: os.path.getmtime(p) for p in glob.glob(os.path.join(out, "tiles", "zoom=5", "*.parquet"))}
+    assert z5_files
+
+    # second run asks for [5, 9]: 5 must be skipped (manifest), 9 computed
+    s2 = run_pipeline(docs, rd, [5, 9], out)
+    assert s2["completed_zooms"] == [5, 9]
+    assert set(s2["metrics"]["rows_per_zoom"]) == {5, 9}
+    # zoom-5 partition untouched by the resumed run (same files, same mtimes)
+    z5_after = {p: os.path.getmtime(p) for p in glob.glob(os.path.join(out, "tiles", "zoom=5", "*.parquet"))}
+    assert z5_after == z5_files
+
+    # a third run with everything done is a no-op
+    s3 = run_pipeline(docs, rd, [5, 9], out)
+    assert s3["completed_zooms"] == [5, 9] and s3["metrics"] == {}
+
+    # the manifest is the on-disk source of truth
+    with open(os.path.join(out, "manifest.json")) as f:
+        assert sorted(json.load(f)["completed_zooms"]) == [5, 9]

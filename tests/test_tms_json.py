@@ -194,3 +194,10 @@ def test_from_to_native_roundtrip_all_quad_grids():
             y_dir = 1.0 if tm.corner_of_origin == "bottomLeft" else -1.0
             got = tms.from_native(zoom, (pt[0] + eps, pt[1] + y_dir * eps))
             assert got == (zoom, tx, ty), f"{tms_id} z{zoom} ({tx},{ty}) -> {got}"
+
+
+def test_cli_resolves_embedded_and_json_path():
+    from texel_spark.cli import resolve_tms
+
+    assert resolve_tms("NZTM2000Quad").srid() == 2193
+    assert resolve_tms(_CUSTOM).id == "CustomBottomLeftLatLonDoubleHeight"

@@ -24,6 +24,18 @@ import sys
 from pyspark.sql import functions as F
 
 
+def resolve_tms(spec: str):
+    """Embedded grid id, or a path to a custom OGC TMS 2.0 JSON
+    (tms20.go:42-54: the reference loads either form)."""
+    import os
+
+    from .grid.tms import load_embedded, load_json_tile_matrix_set
+
+    if spec.endswith(".json") or os.path.sep in spec:
+        return load_json_tile_matrix_set(spec)
+    return load_embedded(spec)
+
+
 def target_path_for(base: str, tm_id: int) -> str:
     dot = base.rfind(".")
     if dot < 0:
@@ -48,18 +60,13 @@ def main(argv=None) -> int:
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
-    import os
-
-    from .grid.tms import deviation_stats, is_quad_tree, load_embedded, load_json_tile_matrix_set
+    from .grid.tms import deviation_stats, is_quad_tree
     from .kernel.snap import SnapConfig
     from .operators.snap_tiles import snap_documents
     from .session import get_spark
     from .sources.gpkg import get_table_info, read_features, write_features
 
-    if args.tilematrixset.endswith(".json") or os.path.sep in args.tilematrixset:
-        tms = load_json_tile_matrix_set(args.tilematrixset)
-    else:
-        tms = load_embedded(args.tilematrixset)
+    tms = resolve_tms(args.tilematrixset)
     tm_ids = json.loads(args.tilematrices)
     config = SnapConfig(
         keep_points_and_lines=args.keep_points_and_lines,

@@ -75,15 +75,17 @@ def ngram_jaccard_pairs(
     # generated JVM-side inside each bounded posting list - cheaper than
     # a self-join shuffle, and the stop-shingle cap bounds the fan-out
     sh = _shingles(documents, n)
-    grouped = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ds"), F.count("*").alias("df"))
+    grouped = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds"), F.count("*").alias("df")
+    )
     kept = grouped.where(F.col("df") <= max_shingle_freq).cache()
     sizes = kept.select(F.explode("ds").alias("doc_id")).groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # posting list pre-sorted -> (a, b) with a < b falls out of the slice;
+    # no IF/null/filter churn inside the interpreted lambda
     pair_expr = """
         explode(flatten(transform(ds, (a, i) ->
-            filter(transform(ds, (b, j) ->
-                IF(j > i AND a < b, struct(a AS doc_a, b AS doc_b),
-                   IF(j > i AND b < a, struct(b AS doc_a, a AS doc_b), null))),
-                x -> x IS NOT NULL))))
+            transform(slice(ds, i + 2, size(ds) - i - 1),
+                      b -> struct(a AS doc_a, b AS doc_b)))))
     """
     inter = (
         kept.select(F.expr(pair_expr).alias("p"))

