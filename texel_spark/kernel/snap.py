@@ -281,6 +281,13 @@ def _classify_rings(complete_rings, is_outer: bool):
 def _kmp_deduplicate(ring):
     """Remove snapping-created zigzags/backtracks, keeping one occurrence
     (snap.go:531-639)."""
+    # fast path: the walk below only ever acts when some vertex equals the
+    # one two steps back (a backtrack); without one it is a no-op
+    for i in range(2, len(ring)):
+        if ring[i] == ring[i - 2]:
+            break
+    else:
+        return ring
     ring_len = len(ring)
     sequences_to_remove: dict[str, tuple[int, int]] = {}
     visited: list = []

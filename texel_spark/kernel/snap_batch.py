@@ -63,6 +63,16 @@ def line_intersects_np(p1x, p1y, p2x, p2y, minx, miny, maxx, maxy):
     res = ((minx <= p1x) & (p1x < maxx) & (miny <= p1y) & (p1y < maxy)) | (
         (minx <= p2x) & (p2x < maxx) & (miny <= p2y) & (p2y < maxy)
     )
+    todo = np.flatnonzero(~res)
+    if todo.size == 0:
+        return res
+    # the edge tests only matter where no endpoint is contained
+    p1x, p1y, p2x, p2y = p1x[todo], p1y[todo], p2x[todo], p2y[todo]
+    minx = minx[todo] if np.ndim(minx) else minx
+    miny = miny[todo] if np.ndim(miny) else miny
+    maxx = maxx[todo] if np.ndim(maxx) else maxx
+    maxy = maxy[todo] if np.ndim(maxy) else maxy
+    sub = np.zeros(todo.size, dtype=bool)
     x1 = p1x / _POW10F
     y1 = p1y / _POW10F
     x2 = p2x / _POW10F
@@ -115,7 +125,8 @@ def line_intersects_np(p1x, p1y, p2x, p2y, minx, miny, maxx, maxy):
                 b1 = (p1y >= miny) & (p1y <= maxy) & ~p1_tip
                 b2 = (p2y >= miny) & (p2y <= maxy) & ~p2_tip
             hit = hit | (~ok & on & (b1 | b2))
-        res = res | hit
+        sub = sub | hit
+    res[todo] = sub
     return res
 
 
@@ -288,36 +299,50 @@ def _snap_chunk(chunk, results, res_offset, tms, deepest_level, levels, tm_ids_b
         certain[:, 0] = np.where(diag, in1, both)
         certain[:, 1] = np.where(adj, both, False)
         certain[:, 3] = in2
-        cx4 = (f_x[:, None] << 1) | (qc & 1)
-        cy4 = (f_y[:, None] << 1) | (qc >> 1)
-        cz4 = (f_z[:, None] << 2) | qc
-        pkeys = (seg_poly[f_seg][:, None] << np.int64(2 * lv)) | cz4
+        # work compressed: only valid candidates are occupancy-checked,
+        # only occupied non-certain ones are intersection-tested, and the
+        # child cell arrays are materialized for accepted rows alone
+        # (candidate order = row-major ravel order, preserved throughout)
+        val_idx = np.flatnonzero(valid.ravel())
+        rows = val_idx >> 2
+        qcv = qc.ravel()[val_idx]
+        czv = (f_z[rows] << 2) | qcv
+        poly_f = seg_poly[f_seg]
+        pkeys = (poly_f[rows] << np.int64(2 * lv)) | czv
         keys = level_keys[lv]
         idx = np.searchsorted(keys, pkeys)
         np.clip(idx, 0, max(keys.size - 1, 0), out=idx)
-        occ = (keys[idx] == pkeys) if keys.size else np.zeros((n, 4), dtype=bool)
-        live = valid & occ
-        minx4 = e0 + cx4 * span
-        miny4 = e1 + cy4 * span
-        need = live & ~certain
-        inter = np.zeros((n, 4), dtype=bool)
+        occ = (keys[idx] == pkeys) if keys.size else np.zeros(pkeys.size, dtype=bool)
+        live_pos = val_idx[occ]
+        rows_l = rows[occ]
+        cert_l = certain.ravel()[live_pos]
+        acc = cert_l.copy()
+        need = ~cert_l
         if need.any():
-            nr, nc = np.nonzero(need)
-            inter[nr, nc] = line_intersects_np(
-                p1x[nr], p1y[nr], p2x[nr], p2y[nr],
-                minx4[nr, nc], miny4[nr, nc], minx4[nr, nc] + span, miny4[nr, nc] + span,
+            qcl = qcv[occ][need]
+            rl = rows_l[need]
+            cxn = (f_x[rl] << 1) | (qcl & 1)
+            cyn = (f_y[rl] << 1) | (qcl >> 1)
+            minxn = e0 + cxn * span
+            minyn = e1 + cyn * span
+            acc[need] = line_intersects_np(
+                p1x[rl], p1y[rl], p2x[rl], p2y[rl],
+                minxn, minyn, minxn + span, minyn + span,
             )
-        accepted = live & (certain | inter)
+        acc_full = np.zeros(n * 4, dtype=bool)
+        acc_full[live_pos[acc]] = True
         # mutex pair: the second of (q1^01, q1^10) is skipped when the
         # first was appended (pointindex.go:300-321)
-        accepted[:, 2] &= ~(diag & accepted[:, 1])
-        keep = accepted.ravel()
-        f_seg = np.repeat(f_seg, 4)[keep]
-        f_x = cx4.ravel()[keep]
-        f_y = cy4.ravel()[keep]
-        f_z = cz4.ravel()[keep]
-        f_minx = minx4.ravel()[keep]
-        f_miny = miny4.ravel()[keep]
+        acc_full[2::4] &= ~(diag & acc_full[1::4])
+        keep_idx = np.flatnonzero(acc_full)
+        rows_k = keep_idx >> 2
+        qck = qc.ravel()[keep_idx]
+        f_seg = f_seg[rows_k]
+        f_x = (f_x[rows_k] << 1) | (qck & 1)
+        f_y = (f_y[rows_k] << 1) | (qck >> 1)
+        f_z = (f_z[rows_k] << 2) | qck
+        f_minx = e0 + f_x * span
+        f_miny = e1 + f_y * span
         f_maxx = f_minx + span
         f_maxy = f_miny + span
         f_cx = f_minx + half
