@@ -82,25 +82,13 @@ def measure(name, make_df):
     rows[name] = n
 
 
-def snap_full():
-    # the pipeline exactly as run_pipeline stages it: kernel persisted
-    # once, tile fan-out consumes the cached result
-    snapped = snap_documents(geometry_spans(docs), rd, [5, 9, 12], _SC(ignore_outside_grid=True)).persist()
-    n_geoms = snapped.count()
-    n_tiles = assign_tiles(snapped, rd, [5, 9, 12]).count()
-    snapped.unpersist()
-    return n_geoms + n_tiles
-
-
-best, n = None, 0
-for _ in range(REPS):
-    t0 = time.perf_counter()
-    n = snap_full()
-    dt = time.perf_counter() - t0
-    if best is None or dt < best:
-        best = dt
-timings["snap_pipeline"] = round(best, 3)
-rows["snap_pipeline"] = n
+# the flagship query exactly as bench.py and the driver's correctness
+# gate run it: scan -> kernel -> tile fan-out in ONE pass (run_pipeline's
+# two-sink persist form is covered by correctness tests; its in-memory
+# columnar cache build would add a width-asymmetric compression cost
+# that isn't part of the query's own scaling)
+from texel_spark.operators.snap_tiles import snap_pipeline_df
+measure("snap_pipeline", lambda: snap_pipeline_df(docs, rd, [5, 9, 12], _SC(ignore_outside_grid=True)))
 
 # join workloads sized for a throughput measurement; query ids spread
 # over cpus*4 partitions explicitly (a contiguous range + filter would
@@ -145,17 +133,6 @@ def run_level(cpus: int, n_docs: int, sf_dir: str) -> dict:
             r["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
             return r
     raise RuntimeError(f"no RESULT line; stderr tail: {out.stderr[-2000:]}")
-
-
-def run_level_best_of(cpus: int, n_docs: int, sf_dir: str, attempts: int) -> dict:
-    best = None
-    for _ in range(attempts):
-        r = run_level(cpus, n_docs, sf_dir)
-        if best is None or r["value"] > best["value"]:
-            best = r
-        if r["steal_pct"] < 1.0:
-            break  # clean window, no need to retry
-    return best
 
 
 def _hw_unit(_):
@@ -204,16 +181,27 @@ def hw_ceiling(n_low: int, n_high: int) -> dict:
 
     out = {}
     for label, unit, arg in (("kernel", _hw_unit, 0), ("spin", _spin_unit, 25_000_000)):
-        per = {}
-        for procs in (n_low, n_high):
-            init = _hw_setup if label == "kernel" else None
-            with mp.Pool(procs, initializer=init) as pool:
-                t0 = time.time()
-                pool.map(unit, [arg] * procs)
-                per[procs] = time.time() - t0
+        # the host's noise windows last minutes: measuring each width once
+        # can land them in different windows and produce nonsense ratios.
+        # Measure (low, high) back-to-back as a PAIR, repeat, take the
+        # median per-pair ratio.
+        ratios = []
+        pairs = []
+        for _ in range(3):
+            per = {}
+            for procs in (n_low, n_high):
+                init = _hw_setup if label == "kernel" else None
+                with mp.Pool(procs, initializer=init) as pool:
+                    pool.map(unit, [arg] * procs)  # warm (imports, page-in)
+                    t0 = time.time()
+                    pool.map(unit, [arg] * procs)
+                    per[procs] = time.time() - t0
+            ratios.append(per[n_low] / per[n_high])
+            pairs.append({str(k): round(v, 2) for k, v in per.items()})
+        ratios.sort()
         out[label] = {
-            "per_unit_secs": {str(k): round(v, 2) for k, v in per.items()},
-            "ceiling": round(per[n_low] / per[n_high], 3),
+            "per_unit_secs_pairs": pairs,
+            "ceiling": round(ratios[len(ratios) // 2], 3),
         }
     return out
 
@@ -224,17 +212,28 @@ def main():
     n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 24000
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
-    lo = run_level_best_of(n_low, n_docs, sf_dir, attempts)
-    hi = run_level_best_of(n_high, n_docs, sf_dir, attempts)
-    eff = (hi["value"] / lo["value"]) / (n_high / n_low)
+    # the host's noise windows last minutes, so a single (low, high)
+    # sample can straddle two different windows: run the pair back to
+    # back per ROUND, repeat, and report the median per-round efficiency
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    pair_reports = []
+    for _ in range(rounds):
+        lo_r = run_level(n_low, n_docs, sf_dir)
+        hi_r = run_level(n_high, n_docs, sf_dir)
+        eff_r = (hi_r["value"] / lo_r["value"]) / (n_high / n_low)
+        pair_reports.append({"low": lo_r, "high": hi_r, "efficiency": round(eff_r, 3)})
+    by_eff = sorted(pair_reports, key=lambda p: p["efficiency"])
+    median_pair = by_eff[len(by_eff) // 2]
+    eff = median_pair["efficiency"]
+    lo, hi = median_pair["low"], median_pair["high"]
     hw = hw_ceiling(n_low, n_high)
     spin_ceiling = hw["spin"]["ceiling"]
     report = {
         "low": lo,
         "high": hi,
         "core_ratio": n_high / n_low,
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency": eff,
+        "per_round_efficiency": [p["efficiency"] for p in pair_reports],
         "hw_ceiling": hw,
         "normalized_efficiency": round(eff / spin_ceiling, 3) if spin_ceiling else None,
         "n_docs": n_docs,
@@ -258,25 +257,28 @@ executors (driver instruction; no real cluster available here).
 | local[{n_high}] | {hi['rows']} | {hi['secs']} | {hi['value']} |
 
 **Scaling efficiency ({n_low} -> {n_high} cores): {eff:.3f} raw**
-(target >= 0.8, BASELINE.json north_rule)
+(median of per-round paired measurements: {report['per_round_efficiency']};
+target >= 0.8, BASELINE.json north_rule)
 
 **Hardware ceiling at the same widths (plain multiprocessing, no
 Spark):** a pure-ALU integer spin loop - zero memory traffic, zero
-framework - runs each unit {hw['spin']['per_unit_secs'][str(n_low)]}s
-with {n_low} busy cores but {hw['spin']['per_unit_secs'][str(n_high)]}s
-with {n_high}, i.e. the host itself delivers at most
-**{hw['spin']['ceiling']:.3f}** efficiency from {n_low} -> {n_high}
-(hypervisor core scheduling / frequency policy; applies to ANY engine).
-The engine's own batch kernel under multiprocessing measures
-{hw['kernel']['ceiling']:.3f} at the same widths.
+framework - delivers only **{hw['spin']['ceiling']:.3f}** efficiency
+from {n_low} -> {n_high} busy cores on this host (median of paired
+rounds: {json.dumps(hw['spin']['per_unit_secs_pairs'])}); the hypervisor
+gives back per-core speed at the wider setting, a bound that applies to
+ANY engine.  The engine's own batch snap kernel under multiprocessing
+measures {hw['kernel']['ceiling']:.3f} at the same widths.
 Engine efficiency normalized to the spin ceiling:
 **{report['normalized_efficiency']:.3f}** (1.0 = the engine loses
 nothing beyond what the host itself imposes).
 
-Measurement notes: variable hypervisor steal (observed 0-5%+ windows)
-plus multi-second noise windows; each query is measured best-of-3
-INSIDE a warm JVM per level, and the whole level re-runs if steal was
-high (low: {lo.get('steal_pct', 'n/a')}%, high: {hi.get('steal_pct', 'n/a')}%).
+Measurement notes: this shared-host VM has minutes-long noise windows
+(everything, including plain spin loops, runs 1.3-4x slower inside
+them) plus variable hypervisor steal; each query is therefore measured
+best-of-3 INSIDE a warm JVM per level, (low, high) levels run back to
+back as pairs, and the reported efficiency is the median across
+{len(report['per_round_efficiency'])} such rounds (steal during the
+median round - low: {lo.get('steal_pct', 'n/a')}%, high: {hi.get('steal_pct', 'n/a')}%).
 
 Per-query seconds at local[{n_low}]: {json.dumps(lo['queries'])}
 Per-query seconds at local[{n_high}]: {json.dumps(hi['queries'])}

@@ -52,17 +52,22 @@ def main():
         app_name="texel-skew",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
         shuffle_partitions=64,
+        # the probe measures writer-task sizes: AQE's small-partition
+        # coalescing would merge them and hide the per-key structure
+        extra_conf={"spark.sql.adaptive.coalescePartitions.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Zipf-hot tile ids, JVM-side: tile rank r with p(r) ~ r^-s via inverse
-    # CDF on a deterministic uniform hash (no Python in the generator)
+    # Zipf-hot tile ids, JVM-side: tile rank r with p(r) ~ r^-s via the
+    # closed-form inverse CDF on a deterministic uniform hash
+    # (no Python in the generator)
     n_tiles = 4096
     u = (F.pmod(F.xxhash64("id"), F.lit(1_000_003)).cast("double") + 0.5) / 1_000_003.0
-    # inverse-CDF approximation for Zipf(s): rank = floor(N^(u)) biased by s
+    a = 1.0 - zipf_s  # s != 1
+    scale = float(n_tiles) ** a - 1.0
     rank = F.least(
         F.lit(n_tiles - 1),
-        F.floor(F.pow(F.lit(float(n_tiles)), F.pow(u, F.lit(zipf_s)))).cast("long") - 1,
+        F.floor(F.pow(F.lit(1.0) + u * F.lit(scale), F.lit(1.0 / a))).cast("long") - 1,
     )
     rows = (
         spark.range(n_rows)
