@@ -145,6 +145,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": lambda s, d: multimodal.extract_media_features(
             multimodal.media_spans(_synth_docs(s, 400))
         ).drop("embedding"),
+        "media_frame_sample": lambda s, d: multimodal.sample_frames(
+            multimodal.media_spans(_synth_docs(s, 400))
+        ).drop("frame"),
+        "media_resize": lambda s, d: multimodal.resize_media(
+            multimodal.media_spans(_synth_docs(s, 400)), target=64
+        ).drop("pixels"),
     }
 
 
@@ -165,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_fingerprint": dedup.FINGERPRINT_DUPLICATES_SQL,
         "ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "minhash_lsh": dedup.minhash_lsh_sql(),
+        "simhash_buckets": dedup.simhash_buckets_sql(),
         "text_stats": text.text_stats_sql(),
         "lang_stopword_score": text.lang_stopword_score_sql(),
         "doc_fingerprints": text.doc_fingerprints_sql(),

@@ -367,3 +367,33 @@ def test_run_pipeline_resume_skips_completed_zooms(spark, tmp_path):
     # the manifest is the on-disk source of truth
     with open(os.path.join(out, "manifest.json")) as f:
         assert sorted(json.load(f)["completed_zooms"]) == [5, 9]
+
+
+def test_frame_sampling_and_resize_stages(spark, docs):
+    """Video spans fan out to a bounded number of frame rows; image spans
+    resize to fixed-size buffers - schema, determinism and fan-out bound
+    (the decode itself is a documented stub; no codecs in this container)."""
+    from texel_spark.operators.multimodal import media_spans, resize_media, sample_frames
+
+    m = media_spans(docs).cache()
+    kinds = {r["media_kind"] for r in m.select("media_kind").distinct().collect()}
+    assert {"img", "vid"} <= kinds
+
+    frames = sample_frames(m, fps=1.0, max_frames=8).collect()
+    n_vids = m.where("media_kind = 'vid'").count()
+    assert n_vids > 0 and len(frames) >= n_vids  # every video yields >= 1 frame
+    per_vid = {}
+    for r in frames:
+        per_vid.setdefault((r["doc_id"], r["span_idx"]), []).append(r)
+    for key, rows in per_vid.items():
+        assert 1 <= len(rows) <= 8, key
+        idxs = sorted(r["frame_idx"] for r in rows)
+        assert idxs == list(range(len(rows)))
+        assert all(len(r["frame"]) == 32 for r in rows)
+    # deterministic across runs
+    again = sample_frames(m, fps=1.0, max_frames=8).collect()
+    assert sorted(map(str, frames)) == sorted(map(str, again))
+
+    resized = resize_media(m, target=64).collect()
+    assert len(resized) == m.where("media_kind = 'img'").count()
+    assert all(r["width"] == 64 and r["height"] == 64 and len(r["pixels"]) == 64 for r in resized)

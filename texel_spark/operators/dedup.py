@@ -11,10 +11,7 @@ the shingle join caps shingle frequency to bound worst-case fan-out
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
@@ -136,18 +133,6 @@ WHERE {threshold_den} * inter >= {threshold_num} * (sa.sz + sb.sz - inter)
 """
 
 
-_MASK64 = (1 << 64) - 1
-
-
-def _hash64_np(arr):
-    """Deterministic 64-bit string hash, vectorized (pandas siphash with a
-    fixed key); identical across executors, processes and runs."""
-    import numpy as np
-    import pandas as pd
-
-    return pd.util.hash_array(np.asarray(arr, dtype=object), hash_key="texel-spark-hash").astype(np.uint64)
-
-
 _MINHASH_P = 2147483647  # 2^31 - 1: (a*h + b) stays under 2^63 for 32-bit h
 
 
@@ -263,46 +248,87 @@ WHERE a.doc_id < b.doc_id
 """
 
 
-@pandas_udf(LongType())
-def simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens.
-
-    The whole Arrow batch is processed with flat numpy passes (mirroring
-    minhash_signature): all tokens of all documents are hashed once, the
-    +-1 bit votes are summed per document with add.reduceat - no
-    per-document Python loop.
-    """
-    import numpy as np
-
-    n_docs = len(text)
-    tok_lists = [(t or "").split() for t in text]
-    lengths = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
-    flat: list = []
-    for ts in tok_lists:
-        flat.extend(ts)
-    out = np.zeros(n_docs, dtype=np.int64)
-    if not flat:
-        return pd.Series(out)
-    hs = _hash64_np(flat)  # (S,)
-    bits = np.arange(64, dtype=np.uint64)
-    bitmat = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)  # (S, 64)
-    votes = 2 * bitmat - 1
-    nonempty = lengths > 0
-    offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
-    np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
-    sums = np.add.reduceat(votes, offsets, axis=0)  # (D_nonempty, 64)
-    sims = ((sums > 0).astype(np.uint64) << bits[None, :]).sum(axis=1, dtype=np.uint64)
-    out[nonempty] = sims.astype(np.int64)  # two's complement wrap == Go/Java long
-    return pd.Series(out)
+def _simhash_votes(documents: DataFrame) -> DataFrame:
+    """Per-doc +-1 vote sums for all 64 SimHash bit positions, as pure
+    declarative aggregates over md5-based token hashes (two 32-bit
+    halves) - whole-stage codegen, map-side combine, one row per doc."""
+    tok = F.explode(F.split(F.col("text"), " ")).alias("token")
+    hlo = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    hhi = F.conv(F.substring(F.md5(F.col("token")), 9, 8), 16, 10).cast("long")
+    h = documents.select("doc_id", tok).select("doc_id", hlo.alias("hlo"), hhi.alias("hhi"))
+    votes = [
+        F.sum(F.shiftright(col, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{base + i}")
+        for base, col in ((0, F.col("hlo")), (32, F.col("hhi")))
+        for i in range(32)
+    ]
+    return h.groupBy("doc_id").agg(*votes)
 
 
 def simhash_buckets(documents: DataFrame) -> DataFrame:
-    """SimHash per doc + 16-bit band buckets for near-dup candidate scan."""
-    df = documents.select("doc_id", simhash64("text").alias("simhash"))
-    return df.select(
+    """SimHash per doc + 16-bit band buckets for near-dup candidate scan.
+
+    Both the packed 64-bit SimHash and the 4 band buckets are built from
+    the vote signs directly (bit 63 contributes -2^63, keeping all
+    arithmetic inside a signed long without overflow - Spark 4 runs ANSI).
+    Exactly reproducible in SQL -> DuckDB oracle (simhash_buckets_sql).
+    """
+    v = _simhash_votes(documents)
+
+    def bit(i):
+        w = F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        if i == 63:
+            return w * F.lit(-(1 << 63))
+        return w * F.lit(1 << i)
+
+    simhash = sum((bit(i) for i in range(1, 64)), bit(0))
+    bands = [
+        sum(
+            (
+                F.when(F.col(f"v{16 * b + j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+                for j in range(1, 16)
+            ),
+            F.when(F.col(f"v{16 * b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        )
+        for b in range(4)
+    ]
+    return v.select(
         "doc_id",
-        "simhash",
-        F.explode(
-            F.array(*[F.shiftrightunsigned("simhash", s).bitwiseAND(F.lit(0xFFFF).cast("long")).alias(f"b{s}") for s in (0, 16, 32, 48)])
-        ).alias("band_bucket"),
+        simhash.alias("simhash"),
+        F.explode(F.array(*bands)).alias("band_bucket"),
     )
+
+
+def simhash_buckets_sql() -> str:
+    """DuckDB twin of simhash_buckets (bit-exact)."""
+    votes = ",\n         ".join(
+        f"SUM(((h{'lo' if i < 32 else 'hi'} >> {i % 32}) & 1) * 2 - 1) AS v{i}" for i in range(64)
+    )
+    sim_terms = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {'-9223372036854775808' if i == 63 else str(1 << i)} ELSE 0 END)"
+        for i in range(64)
+    )
+    band_exprs = ", ".join(
+        "("
+        + " + ".join(f"(CASE WHEN v{16 * b + j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+        + ")"
+        for b in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substr(md5(token), 1, 8)) AS BIGINT) AS hlo,
+         CAST(CONCAT('0x', substr(md5(token), 9, 8)) AS BIGINT) AS hhi
+  FROM toks
+),
+v AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({sim_terms} AS BIGINT) AS simhash,
+       UNNEST([{band_exprs}]) AS band_bucket
+FROM v
+"""

@@ -112,6 +112,103 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(stage, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("span_idx", IntegerType()),
+        StructField("media_ref", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, fps: float = 1.0, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling stage for video spans: one output row per sampled
+    frame, Arrow-batched (the 100 TB shape: a video span fans out to a
+    bounded number of frame rows, each an opaque binary column).
+
+    STUB decode: the "video duration" and frame bytes derive
+    deterministically from the payload (real deployments run ffmpeg
+    here); the fan-out bound, schema and batch shape are production-real.
+    """
+    vids = media.where(F.col("media_kind") == "vid")
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "span_idx", "media_ref", "frame_idx", "ts_ms", "frame")}
+            for doc_id, span_idx, ref, payload in zip(
+                pdf["doc_id"], pdf["span_idx"], pdf["media_ref"], pdf["payload"]
+            ):
+                raw = bytes(payload)
+                duration_ms = 1000 + int.from_bytes(raw[:2], "big") % 30000
+                n = min(max_frames, max(1, int(duration_ms / 1000.0 * fps)))
+                step = duration_ms // n
+                for k in range(n):
+                    out["doc_id"].append(doc_id)
+                    out["span_idx"].append(int(span_idx))
+                    out["media_ref"].append(ref)
+                    out["frame_idx"].append(k)
+                    out["ts_ms"].append(k * step)
+                    out["frame"].append(hashlib.sha256(raw + k.to_bytes(4, "big")).digest())
+            yield pd.DataFrame(out)
+
+    return vids.mapInPandas(stage, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("span_idx", IntegerType()),
+        StructField("media_ref", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target: int = 224) -> DataFrame:
+    """Decode + resize-to-square stage for image spans (mapInPandas).
+
+    STUB: emits a deterministic target*target/64-byte fake pixel buffer
+    per image (a real deployment decodes + resamples here); the byte
+    volume scales with the target like a real resize, so the stage's
+    shuffle/memory shape is honest.
+    """
+    imgs = media.where(F.col("media_kind") == "img")
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        n_bytes = max(1, target * target // 64)
+        for pdf in batches:
+            pixels = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                buf = bytearray()
+                seed = raw
+                while len(buf) < n_bytes:
+                    seed = hashlib.sha256(seed).digest()
+                    buf.extend(seed)
+                pixels.append(bytes(buf[:n_bytes]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "span_idx": pdf["span_idx"],
+                    "media_ref": pdf["media_ref"],
+                    "width": target,
+                    "height": target,
+                    "pixels": pixels,
+                }
+            )
+
+    return imgs.mapInPandas(stage, schema=RESIZED_SCHEMA)
+
+
 def media_stats(docs: DataFrame) -> DataFrame:
     """Per media kind: span count, docs touched, byte volume."""
     m = media_spans(docs)

@@ -135,7 +135,8 @@ def build_document(doc_index: int, extent=None) -> tuple[str, list]:
             words = [_WORDS[(hh[1] >> (j * 5)) % len(_WORDS)] for j in range(3 + hh[2] % 9)]
             spans.append(("text", " ".join(words), None, i))
         elif kind_roll < 7:
-            spans.append(("media", None, f"img://doc{doc_index}/{i}", i))
+            scheme = ("img", "img", "vid", "img", "aud", "vid")[hh[1] % 6]
+            spans.append(("media", None, f"{scheme}://doc{doc_index}/{i}", i))
         else:
             spans.append(("geom", _geom_wkt_for(doc_index, i, extent), None, i))
     # guarantee at least one geometry span in a deterministic subset
