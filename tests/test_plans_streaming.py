@@ -182,3 +182,27 @@ def test_file_stream_checkpoint_recovery(spark, tmp_path):
     # batch-2 docs arrived
     new_docs = {r["doc_id"] for r in out2.select("doc_id").distinct().collect()} - docs1
     assert new_docs, "restart processed no new files"
+
+
+def test_dedup_and_text_operators_are_pure_jvm(spark):
+    """MinHash signatures, SimHash votes and k-gram fingerprints claim
+    'no Python worker in the hot path' - pin it on the physical plan."""
+    from texel_spark.operators.dedup import minhash_lsh_candidates, simhash_buckets
+    from texel_spark.operators.text import doc_fingerprints
+    from texel_spark.plans.checks import assert_no_python_stage
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert_no_python_stage(minhash_lsh_candidates(docs))
+    assert_no_python_stage(simhash_buckets(docs))
+    assert_no_python_stage(doc_fingerprints(docs))
+
+
+def test_minhash_shuffles_are_signature_sized(spark):
+    """The signature stage shuffles one aggregated row per doc (map-side
+    combine), never the exploded shingles: groupBy(doc_id) + the band
+    self-join are the only exchanges."""
+    from texel_spark.operators.dedup import minhash_lsh_candidates
+    from texel_spark.plans.checks import assert_max_shuffles
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert_max_shuffles(minhash_lsh_candidates(docs), 5)

@@ -50,3 +50,12 @@ def assert_broadcast_join(df: DataFrame) -> None:
 def assert_whole_stage_codegen(df: DataFrame) -> None:
     plan = simple_plan(df)
     assert "*(" in plan, f"no whole-stage codegen span in plan:\n{plan}"
+
+
+def assert_no_python_stage(df: DataFrame) -> None:
+    """The plan runs entirely JVM-side: no Python-worker operators
+    (row-at-a-time or Arrow) anywhere - the operator's 'no Python in the
+    hot path' claim as a test."""
+    plan = simple_plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "PythonUDF"):
+        assert marker not in plan, f"Python stage ({marker}) in plan:\n{plan}"
