@@ -116,3 +116,58 @@ def test_batch_outside_grid_raises_without_ignore():
     bad = [[(9e6, 9e6), (9.1e6, 9e6), (9e6, 9.1e6)]]
     with pytest.raises(OutsideGridError):
         snap_polygons_batch([good, bad], tms, [5], SnapConfig())
+
+
+def test_batch_matches_scalar_degenerate_and_self_touching():
+    """Adversarial shapes: duplicate vertices, collinear runs, bowties,
+    spikes, rings collapsing to lines/points - the paths where ring
+    splitting and hit-multiple tracking fire (the vectorized hit-multiple
+    equivalence must hold exactly)."""
+    tms = simple_tms(6, 0.5)
+    tm_ids = [1, 3, 6]
+    config = SnapConfig(keep_points_and_lines=True, ignore_outside_grid=True)
+    polys = [
+        # bowtie (self-intersecting)
+        [[(1.0, 1.0), (9.0, 9.0), (9.0, 1.0), (1.0, 9.0)]],
+        # spike out and back (backtrack -> KMP dedupe)
+        [[(2.0, 2.0), (6.0, 2.0), (6.0, 6.0), (6.0, 12.0), (6.0, 6.0), (2.0, 6.0)]],
+        # duplicate vertices
+        [[(3.0, 3.0), (3.0, 3.0), (7.0, 3.0), (7.0, 7.0), (7.0, 7.0), (3.0, 7.0)]],
+        # collinear run
+        [[(1.0, 1.0), (4.0, 1.0), (7.0, 1.0), (7.0, 7.0), (1.0, 7.0)]],
+        # figure-eight through a shared vertex (self-tangency -> split)
+        [[(2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (5.0, 5.0), (2.0, 8.0)]],
+        # collapses to a line at shallow zooms
+        [[(4.0, 4.0), (4.4, 4.0), (4.4, 4.2), (4.0, 4.2)]],
+        # outer with touching inner
+        [
+            [(1.0, 1.0), (9.0, 1.0), (9.0, 9.0), (1.0, 9.0)],
+            [(1.0, 1.0), (5.0, 3.0), (3.0, 5.0)],
+        ],
+        # hole equal to outer (dedupe inners/outers)
+        [
+            [(2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (2.0, 8.0)],
+            [(2.0, 2.0), (2.0, 8.0), (8.0, 8.0), (8.0, 2.0)],
+        ],
+    ]
+    want = [snap_polygon(p, tms, tm_ids, config) for p in polys]
+    got = snap_polygons_batch(polys, tms, tm_ids, config)
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert g == w, f"adversarial poly {i}"
+
+
+def test_batch_matches_scalar_dense_random_lattice():
+    """Dense random points ON lattice coordinates maximize self-tangency
+    and split activity; exact batch == scalar across two zoom sets."""
+    rng = random.Random(31337)
+    tms = simple_tms(4, 1.0)
+    config = SnapConfig(keep_points_and_lines=True, ignore_outside_grid=True)
+    for tm_ids in ([0, 2, 4], [4]):
+        polys = []
+        for _ in range(150):
+            n = rng.randint(3, 9)
+            polys.append([[(float(rng.randint(0, 15)), float(rng.randint(0, 15))) for _ in range(n)]])
+        want = [snap_polygon(p, tms, tm_ids, config) for p in polys]
+        got = snap_polygons_batch(polys, tms, tm_ids, config)
+        for i, (g, w) in enumerate(zip(got, want)):
+            assert g == w, f"lattice poly {i} tm_ids={tm_ids}"
