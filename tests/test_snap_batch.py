@@ -171,3 +171,20 @@ def test_batch_matches_scalar_dense_random_lattice():
         got = snap_polygons_batch(polys, tms, tm_ids, config)
         for i, (g, w) in enumerate(zip(got, want)):
             assert g == w, f"lattice poly {i} tm_ids={tm_ids}"
+
+
+def test_batch_matches_scalar_at_deep_zoom_levels():
+    """ADVICE r2: composite occupancy keys (poly << 2*deepest_level) | z
+    overflow int64 when deepest_level > 30.  The batch kernel must chunk
+    down to 1 member while headroom exists and route to the scalar
+    kernel beyond that, never corrupting keys."""
+    config = SnapConfig(ignore_outside_grid=True)
+    square = [[(1.0, 1.0), (9.0, 1.0), (9.0, 9.0), (1.0, 9.0)]]
+    polys = [square, [[(2.0, 2.0), (8.0, 2.0), (8.0, 8.0)]], square]
+    # deepest_level = tm_id + 4 on 1px tiles; 28 is the deepest the
+    # reference supports at all (morton.go caps each axis at 32 bits)
+    for tm_id in (24, 25, 26, 27, 28):
+        tms = simple_tms(tm_id, 16.0 / (1 << tm_id))
+        want = [snap_polygon(p, tms, [tm_id], config) for p in polys]
+        got = snap_polygons_batch(polys, tms, [tm_id], config)
+        assert got == want, tm_id

@@ -61,6 +61,262 @@ SNAPPED_SCHEMA = StructType(
 )
 
 
+def _emit_nonpolygon(emit, doc_id, span_idx, wkt, tm_ids_):
+    """Non-polygon spans pass through unchanged to every zoom
+    (processing/processing.go:62-69)."""
+    from ..functions.wkt import geometry_to_wkt, parse_wkt
+
+    kind, coords = parse_wkt(wkt)
+    if kind == "point":
+        bbox = (coords[0], coords[1], coords[0], coords[1])
+    elif kind == "multilinestring":
+        xs = [p[0] for ln in coords for p in ln]
+        ys = [p[1] for ln in coords for p in ln]
+        bbox = (min(xs), min(ys), max(xs), max(ys))
+    else:
+        xs = [p[0] for p in coords]
+        ys = [p[1] for p in coords]
+        bbox = (min(xs), min(ys), max(xs), max(ys))
+    w = geometry_to_wkt(kind, coords)
+    for zoom in tm_ids_:
+        emit(doc_id, span_idx, zoom, kind, w, bbox, 0)
+
+
+def _legacy_batch(pdf, tms_, tm_ids_, cfg, emit):
+    """Scalar-codec fallback for batches the array codec can't parse
+    (3D/odd WKT); same per-row flow the r2 operator used."""
+    from ..functions.wkt import multipolygon_to_wkt, parse_wkt, polygon_bbox, polygon_to_wkt
+    from ..kernel.snap_batch import snap_polygons_batch
+
+    parsed = []
+    members: list = []
+    member_row: list[int] = []
+    for row_i, wkt in enumerate(pdf["wkt"]):
+        kind, coords = parse_wkt(wkt)
+        parsed.append((kind, coords))
+        if kind == "polygon":
+            members.append(coords)
+            member_row.append(row_i)
+        elif kind == "multipolygon":
+            members.extend(coords)
+            member_row.extend([row_i] * len(coords))
+    snapped = snap_polygons_batch(members, tms_, tm_ids_, cfg) if members else []
+    regrouped: dict[int, dict[int, list]] = {}
+    for res, row_i in zip(snapped, member_row):
+        rg = regrouped.setdefault(row_i, {})
+        for zoom, polys in res.items():
+            rg.setdefault(zoom, []).extend(polys)
+    for row_i, (doc_id, span_idx) in enumerate(zip(pdf["doc_id"], pdf["span_idx"])):
+        kind, _ = parsed[row_i]
+        if kind in ("polygon", "multipolygon"):
+            src_multi = kind == "multipolygon"
+            for zoom, polys in regrouped.get(row_i, {}).items():
+                if not polys:
+                    continue
+                multi = src_multi or len(polys) > 1
+                w = multipolygon_to_wkt(polys) if multi else polygon_to_wkt(polys[0])
+                bbox = polygon_bbox([r for p in polys for r in p])
+                emit(doc_id, int(span_idx), zoom, "multipolygon" if multi else "polygon", w, bbox, len(polys))
+        else:
+            _emit_nonpolygon(emit, doc_id, int(span_idx), pdf["wkt"].iloc[row_i], tm_ids_)
+
+
+def _process_batch(pdf, tms_, tm_ids_, cfg):
+    """One Arrow batch through the snap stage: batch WKT parse ->
+    flat-array snap kernel -> vectorized assembly -> digit-exact batch
+    WKT emit.  Per-row Python only touches the rare scalar-path rows
+    (multipolygon merges, self-tangent rings, odd WKT kinds)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import wkt_batch as wb
+    from ..functions.wkt import multipolygon_to_wkt, polygon_bbox, polygon_to_wkt
+    from ..kernel.snap_batch import _ring_floats, snap_flat_batch
+
+    names = SNAPPED_SCHEMA.fieldNames()
+    out = {name: [] for name in names}
+
+    def emit(doc_id, span_idx, zoom, kind, wkt, bbox, n_polys):
+        out["doc_id"].append(doc_id)
+        out["span_idx"].append(span_idx)
+        out["zoom"].append(zoom)
+        out["geom_kind"].append(kind)
+        out["wkt"].append(wkt)
+        out["minx"].append(bbox[0])
+        out["miny"].append(bbox[1])
+        out["maxx"].append(bbox[2])
+        out["maxy"].append(bbox[3])
+        out["n_polys"].append(n_polys)
+
+    texts = pdf["wkt"].tolist()
+    try:
+        parsed = wb.parse_polygons_batch(texts)
+    except wb.WktBatchFallback:
+        _legacy_batch(pdf, tms_, tm_ids_, cfg, emit)
+        return pd.DataFrame(out)
+
+    doc_ids = pdf["doc_id"].tolist()
+    span_idxs = pdf["span_idx"].tolist()
+    n_members = parsed.member_fastrow.size
+    n_fast_rows = parsed.rows.size
+    row_members = np.searchsorted(parsed.member_fastrow, np.arange(n_fast_rows + 1))
+    # members of multi-member rows must come back as dicts (merge step)
+    multi_member_row = (row_members[1:] - row_members[:-1]) > 1
+    need_dicts = multi_member_row[parsed.member_fastrow] if n_members else None
+    results, store, columnar = snap_flat_batch(
+        parsed.xy, parsed.ring_member, parsed.ring_start, parsed.ring_len,
+        n_members, tms_, tm_ids_, cfg, need_dicts=need_dicts, collect_columnar=True,
+    )
+
+    # fast-emit accumulators (vectorized WKT + bbox at the end)
+    f_out_idx: list = []  # output row (in the `out` lists) to patch
+    f_is_multi: list = []
+    f_poly_bounds: list = [0]
+    f_ring_bounds: list = [0]
+    f_ra: list = []
+    f_rb: list = []
+    f_rrev: list = []
+
+    for fr in range(n_fast_rows):
+        m0, m1 = int(row_members[fr]), int(row_members[fr + 1])
+        if m1 - m0 == 1 and results[m0] is None:
+            continue  # columnar lane (emitted in bulk below)
+        row_i = int(parsed.rows[fr])
+        doc_id = doc_ids[row_i]
+        span_idx = int(span_idxs[row_i])
+        src_multi = bool(parsed.is_multi[fr])
+        rg: dict[int, list] = {}
+        for m in range(m0, m1):
+            for zoom, polys in results[m].items():
+                rg.setdefault(zoom, []).extend(polys)
+        for zoom, polys in rg.items():
+            if not polys:
+                continue
+            multi = src_multi or len(polys) > 1
+            kind = "multipolygon" if multi else "polygon"
+            if all(isinstance(r, tuple) for p in polys for r in p):
+                f_out_idx.append(len(out["wkt"]))
+                f_is_multi.append(multi)
+                f_poly_bounds.append(f_poly_bounds[-1] + len(polys))
+                for p in polys:
+                    f_ring_bounds.append(f_ring_bounds[-1] + len(p))
+                    for a, b, rev in p:
+                        f_ra.append(a)
+                        f_rb.append(b)
+                        f_rrev.append(rev)
+                emit(doc_id, span_idx, zoom, kind, None, (0.0, 0.0, 0.0, 0.0), len(polys))
+            else:
+                mat = [
+                    [
+                        _ring_floats(store.fx, store.fy, r[0], r[1], r[2])
+                        if isinstance(r, tuple)
+                        else r
+                        for r in p
+                    ]
+                    for p in polys
+                ]
+                w = multipolygon_to_wkt(mat) if multi else polygon_to_wkt(mat[0])
+                bbox = polygon_bbox([r for p in mat for r in p])
+                emit(doc_id, span_idx, zoom, kind, w, bbox, len(polys))
+
+    for row_i in parsed.other_rows:
+        _emit_nonpolygon(emit, doc_ids[row_i], int(span_idxs[row_i]), texts[row_i], tm_ids_)
+
+    # -- bulk lane: columnar members (one poly, one fast ring, per level) ----
+    n_loop = len(out["wkt"])
+    n_loop_geo = len(f_is_multi)
+    c_doc = []
+    c_span = []
+    c_zoom = []
+    c_multi = []
+    c_ra = []
+    c_rb = []
+    c_rrev = []
+    if columnar:
+        doc_np = np.asarray(doc_ids, dtype=object)
+        span_np = np.asarray(span_idxs, dtype=np.int64)
+        for tm in sorted(columnar):
+            mem, a, b, rev = columnar[tm]
+            frows = parsed.member_fastrow[mem]
+            orig = parsed.rows[frows]
+            c_doc.append(doc_np[orig])
+            c_span.append(span_np[orig])
+            c_zoom.append(np.full(mem.size, tm, dtype=np.int64))
+            c_multi.append(parsed.is_multi[frows])
+            c_ra.append(a)
+            c_rb.append(b)
+            c_rrev.append(rev)
+    n_col = sum(arr.size for arr in c_zoom) if c_zoom else 0
+
+    # -- one vectorized WKT + bbox pass over BOTH fast lanes -----------------
+    if n_loop_geo or n_col:
+        is_multi = np.concatenate(
+            [np.asarray(f_is_multi, dtype=bool)] + c_multi
+            if c_multi
+            else [np.asarray(f_is_multi, dtype=bool)]
+        )
+        n_geo = is_multi.size
+        poly_bounds = np.empty(n_geo + 1, dtype=np.int64)
+        poly_bounds[: n_loop_geo + 1] = f_poly_bounds
+        ring_bounds_l = np.asarray(f_ring_bounds, dtype=np.int64)
+        # columnar geoms are 1 poly / 1 ring each
+        if n_col:
+            poly_bounds[n_loop_geo + 1 :] = f_poly_bounds[-1] + np.arange(1, n_col + 1)
+        n_polys_total = int(poly_bounds[-1])
+        ring_bounds = np.empty(n_polys_total + 1, dtype=np.int64)
+        ring_bounds[: ring_bounds_l.size] = ring_bounds_l
+        if n_col:
+            ring_bounds[ring_bounds_l.size :] = ring_bounds_l[-1] + np.arange(1, n_col + 1)
+        ra = np.concatenate([np.asarray(f_ra, dtype=np.int64)] + c_ra) if c_ra else np.asarray(f_ra, dtype=np.int64)
+        rb = np.concatenate([np.asarray(f_rb, dtype=np.int64)] + c_rb) if c_rb else np.asarray(f_rb, dtype=np.int64)
+        rrev = np.concatenate([np.asarray(f_rrev, dtype=bool)] + c_rrev) if c_rrev else np.asarray(f_rrev, dtype=bool)
+        lens = rb - ra
+        pt_bounds = wb._exclusive_cumsum(lens)
+        total = int(pt_bounds[-1])
+        rep = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        p = np.arange(total, dtype=np.int64) - pt_bounds[:-1][rep]
+        src = np.where(rrev[rep], rb[rep] - 1 - p, ra[rep] + p)
+        px = store.kx[src]
+        py = store.ky[src]
+        texts_fast = wb.format_polygon_wkts(
+            is_multi, poly_bounds, ring_bounds, pt_bounds, lens >= 2, px, py
+        )
+        # bbox per geometry: its points are one contiguous gathered span
+        geom_pt_start = pt_bounds[ring_bounds[poly_bounds[:-1]]]
+        fminx = np.minimum.reduceat(px, geom_pt_start) / 1e10
+        fminy = np.minimum.reduceat(py, geom_pt_start) / 1e10
+        fmaxx = np.maximum.reduceat(px, geom_pt_start) / 1e10
+        fmaxy = np.maximum.reduceat(py, geom_pt_start) / 1e10
+        for k, oi in enumerate(f_out_idx):
+            out["wkt"][oi] = texts_fast[k]
+            out["minx"][oi] = float(fminx[k])
+            out["miny"][oi] = float(fminy[k])
+            out["maxx"][oi] = float(fmaxx[k])
+            out["maxy"][oi] = float(fmaxy[k])
+
+    # -- final columns: loop lists + columnar arrays -------------------------
+    cols = {}
+    if n_col:
+        cols["doc_id"] = np.concatenate([np.asarray(out["doc_id"], dtype=object)] + c_doc)
+        cols["span_idx"] = np.concatenate([np.asarray(out["span_idx"], dtype=np.int64)] + c_span).astype(np.int32)
+        cols["zoom"] = np.concatenate([np.asarray(out["zoom"], dtype=np.int64)] + c_zoom).astype(np.int32)
+        kind_col = np.where(np.concatenate(c_multi), "multipolygon", "polygon").astype(object)
+        cols["geom_kind"] = np.concatenate([np.asarray(out["geom_kind"], dtype=object), kind_col])
+        cols["wkt"] = np.concatenate(
+            [np.asarray(out["wkt"], dtype=object), np.asarray(texts_fast[n_loop_geo:], dtype=object)]
+        )
+        cols["minx"] = np.concatenate([np.asarray(out["minx"], dtype=np.float64), fminx[n_loop_geo:]])
+        cols["miny"] = np.concatenate([np.asarray(out["miny"], dtype=np.float64), fminy[n_loop_geo:]])
+        cols["maxx"] = np.concatenate([np.asarray(out["maxx"], dtype=np.float64), fmaxx[n_loop_geo:]])
+        cols["maxy"] = np.concatenate([np.asarray(out["maxy"], dtype=np.float64), fmaxy[n_loop_geo:]])
+        cols["n_polys"] = np.concatenate(
+            [np.asarray(out["n_polys"], dtype=np.int64), np.ones(n_col, dtype=np.int64)]
+        ).astype(np.int32)
+    else:
+        cols = out
+    return pd.DataFrame(cols)
+
+
 def snap_documents(
     docs: DataFrame,
     tms: TileMatrixSet,
@@ -72,94 +328,22 @@ def snap_documents(
     Non-polygon geometries pass through unchanged to every zoom and
     multipolygons are split/snapped/regrouped, exactly like the
     reference's type dispatch (processing/processing.go:22-76).
+
+    Hot path is array programs end-to-end: batch WKT parse
+    (functions/wkt_batch.py) -> flat-array snap kernel + vectorized
+    assembly (kernel/snap_batch.py) -> digit-exact batch WKT emit; the
+    dominant single-polygon shape flows through a fully columnar lane
+    with zero per-row Python.
     """
     spark = docs.sparkSession
     config = config or SnapConfig(keep_points_and_lines=False, ignore_outside_grid=True)
     bc = spark.sparkContext.broadcast((tms, tuple(tm_ids), config))
 
     def kernel(batches):
-        import pandas as pd
-
-        from ..functions.wkt import (
-            geometry_to_wkt,
-            multipolygon_to_wkt,
-            parse_wkt,
-            polygon_bbox,
-            polygon_to_wkt,
-        )
-        from ..kernel.snap_batch import snap_polygons_batch
-
         tms_, tm_ids_, cfg = bc.value
         tm_ids_ = list(tm_ids_)
-        out = {name: [] for name in SNAPPED_SCHEMA.fieldNames()}
-
-        def emit(doc_id, span_idx, zoom, kind, wkt, bbox, n_polys):
-            out["doc_id"].append(doc_id)
-            out["span_idx"].append(span_idx)
-            out["zoom"].append(zoom)
-            out["geom_kind"].append(kind)
-            out["wkt"].append(wkt)
-            out["minx"].append(bbox[0])
-            out["miny"].append(bbox[1])
-            out["maxx"].append(bbox[2])
-            out["maxy"].append(bbox[3])
-            out["n_polys"].append(n_polys)
-
         for pdf in batches:
-            # pass 1: parse + gather every (multi)polygon member of the
-            # whole Arrow batch -> ONE vectorized kernel call
-            parsed = []
-            members: list = []
-            member_row: list[int] = []
-            for row_i, wkt in enumerate(pdf["wkt"]):
-                kind, coords = parse_wkt(wkt)
-                parsed.append((kind, coords))
-                if kind == "polygon":
-                    members.append(coords)
-                    member_row.append(row_i)
-                elif kind == "multipolygon":
-                    members.extend(coords)
-                    member_row.extend([row_i] * len(coords))
-            snapped = snap_polygons_batch(members, tms_, tm_ids_, cfg) if members else []
-            # regroup member results per source row (D4/D5)
-            regrouped_by_row: dict[int, dict[int, list]] = {}
-            for res, row_i in zip(snapped, member_row):
-                rg = regrouped_by_row.setdefault(row_i, {})
-                for zoom, polys in res.items():
-                    rg.setdefault(zoom, []).extend(polys)
-
-            for row_i, (doc_id, span_idx) in enumerate(zip(pdf["doc_id"], pdf["span_idx"])):
-                kind, coords = parsed[row_i]
-                if kind == "polygon":
-                    for zoom, polys in regrouped_by_row.get(row_i, {}).items():
-                        if not polys:
-                            continue
-                        w = polygon_to_wkt(polys[0]) if len(polys) == 1 else multipolygon_to_wkt(polys)
-                        bbox = polygon_bbox([r for p in polys for r in p])
-                        emit(doc_id, int(span_idx), zoom, "polygon" if len(polys) == 1 else "multipolygon", w, bbox, len(polys))
-                elif kind == "multipolygon":
-                    for zoom, polys in regrouped_by_row.get(row_i, {}).items():
-                        if not polys:
-                            continue
-                        bbox = polygon_bbox([r for p in polys for r in p])
-                        emit(doc_id, int(span_idx), zoom, "multipolygon", multipolygon_to_wkt(polys), bbox, len(polys))
-                else:
-                    # non-polygon: pass through unchanged to every zoom
-                    if kind == "point":
-                        bbox = (coords[0], coords[1], coords[0], coords[1])
-                    elif kind == "multilinestring":
-                        xs = [p[0] for ln in coords for p in ln]
-                        ys = [p[1] for ln in coords for p in ln]
-                        bbox = (min(xs), min(ys), max(xs), max(ys))
-                    else:
-                        xs = [p[0] for p in coords]
-                        ys = [p[1] for p in coords]
-                        bbox = (min(xs), min(ys), max(xs), max(ys))
-                    w = geometry_to_wkt(kind, coords)
-                    for zoom in tm_ids_:
-                        emit(doc_id, int(span_idx), zoom, kind, w, bbox, 0)
-            yield pd.DataFrame(out)
-            out = {name: [] for name in SNAPPED_SCHEMA.fieldNames()}
+            yield _process_batch(pdf, tms_, tm_ids_, cfg)
 
     return docs.mapInPandas(kernel, schema=SNAPPED_SCHEMA)
 
