@@ -397,3 +397,36 @@ def test_frame_sampling_and_resize_stages(spark, docs):
     resized = resize_media(m, target=64).collect()
     assert len(resized) == m.where("media_kind = 'img'").count()
     assert all(r["width"] == 64 and r["height"] == 64 and len(r["pixels"]) == 64 for r in resized)
+
+
+def test_knn_join_grid_max_rounds_exhaustion_falls_back_to_full_scan(spark):
+    """ADVICE r2: a too-small round budget must finish the tail with a
+    full scan, never silently drop unresolved queries."""
+    from texel_spark.operators.spatial_queries import knn_join, knn_join_grid
+
+    events = spark.range(0, 2000).withColumnRenamed("id", "event_id")
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    exact = {(r["event_id"], r["rnk"]): r["nationkey"] for r in knn_join(events, nation, k=3, n_queries=60).collect()}
+    # cell tiny + 1 round: almost everything lands in the fallback scan
+    grid = {
+        (r["event_id"], r["rnk"]): r["nationkey"]
+        for r in knn_join_grid(events, nation, k=3, n_queries=60, cell=1_000.0, max_rounds=1).collect()
+    }
+    assert grid == exact
+
+
+def test_knn_join_grid_releases_round_caches(spark):
+    """ADVICE r2: round-local caches must be unpersisted; a run leaves at
+    most the checkpointed result in executor storage."""
+    from texel_spark.operators.spatial_queries import knn_join_grid
+
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    events = spark.range(0, 2000).withColumnRenamed("id", "event_id")
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    res = knn_join_grid(events, nation, k=3, n_queries=120, cell=4_000.0)
+    assert res.count() > 0
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
+    # multiple rounds ran (tiny cell); a leak would leave q0 + c +
+    # per-round topk + the unresolved chain = far more than 2 entries
+    assert len(after) <= 2, after

@@ -201,3 +201,28 @@ def test_cli_resolves_embedded_and_json_path():
 
     assert resolve_tms("NZTM2000Quad").srid() == 2193
     assert resolve_tms(_CUSTOM).id == "CustomBottomLeftLatLonDoubleHeight"
+
+
+def test_unknown_crs_without_ordered_axes_fails_loudly(tmp_path):
+    """VERDICT r2 item 4: an exotic EPSG code with no usable orderedAxes
+    must raise (naming the CRS), never silently guess the axis order."""
+    import json
+
+    with open(_CUSTOM) as f:
+        doc = json.load(f)
+    doc["id"] = "MadeUpEpsgNoAxes"
+    doc["crs"] = {"uri": "http://www.opengis.net/def/crs/EPSG/0/987654"}
+    doc.pop("orderedAxes", None)
+    p = tmp_path / "madeup.json"
+    p.write_text(json.dumps(doc))
+    tms = load_json_tile_matrix_set(str(p))
+    with pytest.raises(ValueError) as ei:
+        tms.to_xy_point((1.0, 2.0))
+    msg = str(ei.value)
+    assert "987654" in msg and "axis order" in msg
+
+
+def test_all_embedded_grids_still_resolve_axis_order():
+    for tms_id in embedded_tile_matrix_set_ids():
+        tms = load_embedded(tms_id)
+        assert isinstance(tms.to_xy_point((1.0, 2.0)), tuple)

@@ -406,6 +406,17 @@ FROM ranked WHERE rnk <= {k}
 """
 
 
+def _knn_full_scan(unresolved, c, d, w, k):
+    """Exhaustive top-k for the (small) unresolved tail of knn_join_grid."""
+    return (
+        unresolved.crossJoin(c.select("nationkey", "cx", "cy"))
+        .withColumn("dist", d)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("event_id", "nationkey", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 def knn_join_grid(
     events: DataFrame,
     nation: DataFrame,
@@ -423,12 +434,17 @@ def knn_join_grid(
     query is PROVABLY resolved when it found >= k candidates and its
     k-th distance <= r*cell: any point in a cell at Chebyshev cell
     distance > r is farther than r*cell away.  Unresolved queries (too
-    few/too far neighbors) re-join with a doubled ring; the loop is
-    bounded by log2(grid span) rounds and ends with a ring covering the
-    whole corpus extent, so correctness never depends on the cell size.
+    few/too far neighbors) re-join with the ring radius QUADRUPLED
+    (r *= 4), so only log4(grid span) rounds are needed; if max_rounds
+    is exhausted first, the remaining tail is resolved by one full scan
+    (never silently dropped - ADVICE r2), so correctness never depends
+    on the cell size or the round budget.
 
     Driver-side state is only aggregates (corpus cell bounds, emptiness
-    checks); all candidate generation/scoring is distributed.
+    checks); all candidate generation/scoring is distributed.  Round-
+    local caches are unpersisted as soon as they are consumed (ADVICE
+    r2): a long run holds at most the current unresolved set and the
+    current round's top-k in executor storage.
     """
     pts = points_from_events(events).where(F.col("event_id") < n_queries)
     cents = triangles_from_nation(nation).select("nationkey", "cx", "cy")
@@ -458,19 +474,16 @@ def knn_join_grid(
     w = Window.partitionBy("event_id").orderBy(F.col("dist").asc(), F.col("nationkey").asc())
 
     unresolved = q0.cache()
+    finished = False
     resolved_parts: list[DataFrame] = []
+    round_caches: list[DataFrame] = []
     r = 1
     for _ in range(max_rounds):
         if r >= span_cells:
             # ring spans the whole corpus: search it directly (the
             # unresolved tail is small by now - no point exploding cells)
-            topk = (
-                unresolved.crossJoin(c.select("nationkey", "cx", "cy"))
-                .withColumn("dist", d)
-                .withColumn("rnk", F.row_number().over(w))
-                .where(F.col("rnk") <= k)
-            )
-            resolved_parts.append(topk.select("event_id", "nationkey", F.col("rnk").cast("int").alias("rnk")))
+            resolved_parts.append(_knn_full_scan(unresolved, c, d, w, k))
+            finished = True
             break
         # ring cells clamped to the corpus bounds: empty space costs nothing
         cand = unresolved.withColumn(
@@ -509,11 +522,28 @@ def knn_join_grid(
         resolved_parts.append(
             topk.join(F.broadcast(done_ids), "event_id").select("event_id", "nationkey", "rnk")
         )
+        round_caches.append(topk)
+        prev_unresolved = unresolved
         unresolved = unresolved.join(F.broadcast(done_ids), "event_id", "left_anti").cache()
+        if prev_unresolved is not q0:
+            prev_unresolved.unpersist()
         if unresolved.isEmpty():
+            finished = True
             break
         r = min(r * 4, span_cells)
+    if not finished:
+        # max_rounds exhausted with queries still unresolved: finish them
+        # with one full scan rather than dropping them (ADVICE r2)
+        resolved_parts.append(_knn_full_scan(unresolved, c, d, w, k))
     out = resolved_parts[0]
     for part in resolved_parts[1:]:
         out = out.unionByName(part)
+    # materialize before releasing the lineage caches the union reads from
+    out = out.localCheckpoint(eager=True)
+    for tk in round_caches:
+        tk.unpersist()
+    if unresolved is not q0:
+        unresolved.unpersist()
+    q0.unpersist()
+    c.unpersist()
     return out
