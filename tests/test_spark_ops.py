@@ -349,7 +349,7 @@ def test_run_pipeline_resume_skips_completed_zooms(spark, tmp_path):
     s1 = run_pipeline(docs, rd, [5], out)
     assert s1["completed_zooms"] == [5]
     assert set(s1["metrics"]["rows_per_zoom"]) == {5}
-    z5_files = {p: os.path.getmtime(p) for p in glob.glob(os.path.join(out, "tiles", "zoom=5", "*.parquet"))}
+    z5_files = {p: os.path.getmtime(p) for p in glob.glob(os.path.join(out, "tiles", "zoom=5", "bucket=*", "*.parquet"))}
     assert z5_files
 
     # second run asks for [5, 9]: 5 must be skipped (manifest), 9 computed
@@ -357,7 +357,7 @@ def test_run_pipeline_resume_skips_completed_zooms(spark, tmp_path):
     assert s2["completed_zooms"] == [5, 9]
     assert set(s2["metrics"]["rows_per_zoom"]) == {5, 9}
     # zoom-5 partition untouched by the resumed run (same files, same mtimes)
-    z5_after = {p: os.path.getmtime(p) for p in glob.glob(os.path.join(out, "tiles", "zoom=5", "*.parquet"))}
+    z5_after = {p: os.path.getmtime(p) for p in glob.glob(os.path.join(out, "tiles", "zoom=5", "bucket=*", "*.parquet"))}
     assert z5_after == z5_files
 
     # a third run with everything done is a no-op
@@ -430,3 +430,56 @@ def test_knn_join_grid_releases_round_caches(spark):
     # multiple rounds ran (tiny cell); a leak would leave q0 + c +
     # per-round topk + the unresolved chain = far more than 2 entries
     assert len(after) <= 2, after
+
+
+def test_run_pipeline_mid_zoom_kill_resumes_per_bucket(spark, tmp_path):
+    """VERDICT r2 item 3: a kill after N buckets must leave those
+    buckets' files untouched (byte-identical, mtime-pinned) on resume;
+    only the unfinished buckets are (re)written."""
+    import glob
+    import hashlib
+    import json
+    import os
+
+    from texel_spark.operators.snap_tiles import run_pipeline
+    from texel_spark.sources.documents import synth_documents
+
+    rd = load_embedded("NetherlandsRDNewQuad")
+    docs = synth_documents(spark, 60, partitions=2)
+    out = str(tmp_path / "pipe")
+
+    class Kill(Exception):
+        pass
+
+    done = []
+
+    def bomb(z, b):
+        done.append((z, b))
+        if len(done) == 2:
+            raise Kill()
+
+    with pytest.raises(Kill):
+        run_pipeline(docs, rd, [9], out, tile_buckets=4, _after_bucket_hook=bomb)
+
+    with open(os.path.join(out, "manifest.json")) as f:
+        m = json.load(f)
+    assert sorted(m["zooms"]["9"]["buckets"]) == [0, 1]
+    assert not m["zooms"]["9"].get("geoms")
+
+    def snapshot(bucket):
+        files = sorted(glob.glob(os.path.join(out, "tiles", "zoom=9", f"bucket={bucket}", "*")))
+        assert files
+        return [
+            (p, os.path.getmtime(p), hashlib.md5(open(p, "rb").read()).hexdigest())
+            for p in files
+        ]
+
+    before = {b: snapshot(b) for b in (0, 1)}
+    s = run_pipeline(docs, rd, [9], out, tile_buckets=4)
+    assert s["completed_zooms"] == [9]
+    for b in (0, 1):
+        assert snapshot(b) == before[b], f"bucket {b} was rewritten on resume"
+    # all four buckets + geoms present and readable, counts add up
+    total = spark.read.parquet(os.path.join(out, "tiles")).count()
+    assert total == s["metrics"]["rows_per_zoom"][9]
+    assert spark.read.parquet(os.path.join(out, "geoms")).where("zoom = 9").count() > 0

@@ -19,9 +19,11 @@ Scale notes
   dense urban tiles are Zipfian hot keys, and AQE's skew splitting
   cannot split a skewed *write* partition, salting can.
 * Grid metadata (a few KB) is broadcast, never joined.
-* Resume: the sink records a manifest of completed zooms; re-running
-  skips them (idempotent dynamic-overwrite per zoom), mirroring the
-  reference's paged/transactional writes (processing/gpkg/gpkg.go:205-272).
+* Resume: the sink records a manifest of completed (zoom, bucket)
+  pairs (bucket = feature hash, filter prunes before the tile explode);
+  re-running skips them and a mid-zoom kill re-does only unfinished
+  buckets, mirroring the reference's paged/transactional writes
+  (processing/gpkg/gpkg.go:205-272).
 """
 
 from __future__ import annotations
@@ -448,6 +450,38 @@ def snapped_geometries(snapped: DataFrame) -> DataFrame:
     return snapped.select("doc_id", "span_idx", "zoom", "geom_kind", "wkt", "n_polys")
 
 
+def _load_manifest(path: str) -> dict:
+    """Manifest schema: {"zooms": {"<z>": {"buckets": [ints], "geoms": bool}},
+    "completed_zooms": [...] (derived, kept for compat)}.  Legacy
+    manifests (completed_zooms only) upgrade to fully-complete entries."""
+    if not os.path.exists(path):
+        return {"zooms": {}}
+    with open(path) as f:
+        m = json.load(f)
+    if "zooms" not in m:
+        m["zooms"] = {
+            str(z): {"buckets": None, "geoms": True} for z in m.get("completed_zooms", [])
+        }
+    return m
+
+
+def _save_manifest(path: str, manifest: dict, tile_buckets: int) -> None:
+    """Atomic write (tmp + rename): a kill mid-update never corrupts the
+    on-disk source of truth (reference analog: paged transactional
+    writes, processing/gpkg/gpkg.go:205-272)."""
+    done = [
+        int(z)
+        for z, st in manifest["zooms"].items()
+        if st.get("geoms")
+        and (st.get("buckets") is None or len(st["buckets"]) >= tile_buckets)
+    ]
+    manifest["completed_zooms"] = sorted(done)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, path)
+
+
 def run_pipeline(
     docs: DataFrame,
     tms: TileMatrixSet,
@@ -456,42 +490,87 @@ def run_pipeline(
     config: SnapConfig | None = None,
     salt_buckets: int = 8,
     resume: bool = True,
+    tile_buckets: int = 8,
+    _after_bucket_hook=None,
 ) -> dict:
-    """End-to-end job with salted shuffle, metrics and resumable manifest.
+    """End-to-end job with salted shuffle, metrics and a resumable
+    per-(zoom, bucket) manifest.
+
+    Each zoom's tile index is written as ``tile_buckets`` independent
+    jobs (bucket = feature hash, so the bucket filter prunes BEFORE the
+    tile explode); the manifest is updated atomically after every bucket,
+    so a mid-zoom kill re-does only the unfinished buckets - completed
+    buckets' files are never touched again (VERDICT r2 item 3; reference
+    analog: paged transactional writes, processing/gpkg/gpkg.go:205-272).
+    If an Iceberg jar ever lands, each bucket job becomes REPLACE
+    PARTITIONS with the same manifest layout.
 
     Returns the run summary (also persisted to <output_dir>/manifest.json).
     """
     spark = docs.sparkSession
+    os.makedirs(output_dir, exist_ok=True)
     manifest_path = os.path.join(output_dir, "manifest.json")
-    done_zooms: set[int] = set()
-    if resume and os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            done_zooms = set(json.load(f).get("completed_zooms", []))
-    todo = [z for z in tm_ids if z not in done_zooms]
-    summary = {"completed_zooms": sorted(done_zooms), "metrics": {}}
-    if not todo:
-        return summary
+    manifest = _load_manifest(manifest_path) if resume else {"zooms": {}}
 
-    # persisted so the CPU-heavy kernel runs once for both sinks
-    snapped = snap_documents(geometry_spans(docs), tms, todo, config).persist()
-    tiled = assign_tiles(snapped, tms, todo)
-    # explicit salt: a hot tile's rows spread over salt_buckets writer tasks
-    salted = tiled.withColumn("salt", F.pmod(F.xxhash64("doc_id", "span_idx"), F.lit(salt_buckets)))
-    shuffled = salted.repartition(F.col("zoom"), F.col("tile_id"), F.col("salt")).drop("salt")
-    (
-        shuffled.write.mode("overwrite")
-        .partitionBy("zoom")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(os.path.join(output_dir, "tiles"))
+    def zoom_state(z: int) -> dict:
+        st = manifest["zooms"].setdefault(str(z), {"buckets": [], "geoms": False})
+        if st.get("buckets") is None:  # legacy fully-complete zoom
+            st["buckets"] = list(range(tile_buckets))
+        return st
+
+    todo = [
+        z
+        for z in tm_ids
+        if not (
+            str(z) in manifest["zooms"]
+            and zoom_state(z)["geoms"]
+            and len(zoom_state(z)["buckets"]) >= tile_buckets
+        )
+    ]
+    if not todo:
+        return {"completed_zooms": sorted(int(z) for z in manifest["zooms"]), "metrics": {}}
+
+    # persisted so the CPU-heavy kernel runs once for every bucket job
+    snapped = (
+        snap_documents(geometry_spans(docs), tms, todo, config)
+        .withColumn("bucket", F.pmod(F.xxhash64("doc_id", "span_idx"), F.lit(tile_buckets)))
+        .persist()
     )
-    (
-        snapped_geometries(snapped)
-        .repartition(F.col("zoom"))
-        .write.mode("overwrite")
-        .partitionBy("zoom")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(os.path.join(output_dir, "geoms"))
-    )
+
+    for z in todo:
+        st = zoom_state(z)
+        for b in range(tile_buckets):
+            if b in st["buckets"]:
+                continue
+            # bucket filter applies BEFORE the tile explode (narrow), so
+            # finer resume granularity costs no duplicated fan-out work
+            part = assign_tiles(
+                snapped.where((F.col("zoom") == z) & (F.col("bucket") == b)).drop("bucket"),
+                tms,
+                [z],
+            )
+            salted = part.withColumn(
+                "salt", F.pmod(F.xxhash64("doc_id", "span_idx"), F.lit(salt_buckets))
+            )
+            (
+                salted.repartition(F.col("tile_id"), F.col("salt"))
+                .drop("salt", "zoom")
+                .write.mode("overwrite")
+                .parquet(os.path.join(output_dir, "tiles", f"zoom={z}", f"bucket={b}"))
+            )
+            st["buckets"] = sorted(set(st["buckets"]) | {b})
+            _save_manifest(manifest_path, manifest, tile_buckets)
+            if _after_bucket_hook is not None:
+                _after_bucket_hook(z, b)
+        if not st["geoms"]:
+            (
+                snapped_geometries(snapped.where(F.col("zoom") == z).drop("bucket"))
+                .drop("zoom")
+                .write.mode("overwrite")
+                .parquet(os.path.join(output_dir, "geoms", f"zoom={z}"))
+            )
+            st["geoms"] = True
+            _save_manifest(manifest_path, manifest, tile_buckets)
 
     snapped.unpersist()
     out = spark.read.parquet(os.path.join(output_dir, "tiles"))
@@ -514,12 +593,11 @@ def run_pipeline(
 
     per_zoom = {int(r["zoom"]): int(r["n"]) for r in out.groupBy("zoom").agg(F.count("*").alias("n")).collect()}
     summary = {
-        "completed_zooms": sorted(done_zooms | set(todo)),
+        "completed_zooms": sorted(int(z) for z in manifest["zooms"]),
         "metrics": {"rows_per_zoom": per_zoom},
     }
-    os.makedirs(output_dir, exist_ok=True)
-    with open(manifest_path, "w") as f:
-        json.dump(summary, f)
+    manifest["metrics"] = summary["metrics"]
+    _save_manifest(manifest_path, manifest, tile_buckets)
     return summary
 
 
