@@ -64,6 +64,43 @@ SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
 """
 
 
+def synth_clustered_embeddings(
+    spark,
+    n_vectors: int = 2000,
+    dim: int = 32,
+    n_clusters: int = 16,
+    noise: float = 0.12,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic planted-Gaussian-cluster embeddings fixture.
+
+    Real embedding corpora are clustered (that's why IVF works); the
+    driver-provided testdata is uniform-random, where *no* cell-bucketed
+    ANN can score high recall (nearest neighbours of a random point
+    straddle cell boundaries).  This fixture plants `n_clusters`
+    well-separated centroids with per-dim magnitudes bounded away from 0,
+    so sign-bit cells are stable under the noise - the regime the IVF
+    path is built for.  Schema mirrors testdata embeddings.parquet
+    (vec_id long, embedding array<float>, label int).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    # magnitudes in [0.6, 1.4], random sign: sign flips under noise are rare
+    centroids = rng.uniform(0.6, 1.4, size=(n_clusters, dim)) * rng.choice([-1.0, 1.0], size=(n_clusters, dim))
+    labels = np.arange(n_vectors) % n_clusters  # queries (low ids) span clusters
+    vecs = centroids[labels] + rng.normal(0.0, noise, size=(n_vectors, dim))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n_vectors, dtype=np.int64),
+            "embedding": [row.astype(np.float32).tolist() for row in vecs],
+            "label": labels.astype(np.int32),
+        }
+    )
+    return spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>, label int")
+
+
 def _grid_cell(col, n_bits: int = 8):
     """Coarse quantizer: sign bits of the first n_bits dims -> 2^n_bits
     cells, as a pure JVM column expression (no Python worker).
