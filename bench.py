@@ -99,6 +99,13 @@ def main() -> None:
     exact_nn = {(r["query_id"], r["neighbor_id"]) for r in similarity.cosine_topk(t("embeddings")).collect()}
     ivf_nn = {(r["query_id"], r["neighbor_id"]) for r in similarity.ivf_cosine_topk(t("embeddings")).collect()}
     ann_recall = round(len(exact_nn & ivf_nn) / max(1, len(exact_nn)), 3)
+    # ... and on clustered data (the regime IVF targets; random uniform
+    # embeddings are the worst case for ANY cell-bucketed ANN)
+    clustered = similarity.synth_clustered_embeddings(spark).cache()
+    exact_cl = {(r["query_id"], r["neighbor_id"]) for r in similarity.cosine_topk(clustered).collect()}
+    ivf_cl = {(r["query_id"], r["neighbor_id"]) for r in similarity.ivf_cosine_topk(clustered).collect()}
+    ann_recall_clustered = round(len(exact_cl & ivf_cl) / max(1, len(exact_cl)), 3)
+    clustered.unpersist()
 
     headline = ["snap_pipeline", "pip_join", "knn_join"]
     headline_rows = sum(rows[q] for q in headline)
@@ -119,6 +126,7 @@ def main() -> None:
                 "headline_rows": headline_rows,
                 "headline_secs": round(headline_secs, 3),
                 "ann_recall_at_5": ann_recall,
+                "ann_recall_at_5_clustered": ann_recall_clustered,
             }
         )
     )
