@@ -54,6 +54,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rd = load_embedded("NetherlandsRDNewQuad")
         return snap_pipeline_df(_synth_docs(spark, 400), rd, [5, 9, 12])
 
+    def snap_tile_fanout(spark, sf_dir):
+        # the JVM tile-assignment half with a hash-exact DuckDB oracle:
+        # kernel bboxes materialize to parquet, both engines fan them out
+        from texel_spark.operators.snap_tiles import snap_tile_fanout_df
+
+        rd = load_embedded("NetherlandsRDNewQuad")
+        return snap_tile_fanout_df(_synth_docs(spark, 400), rd, [5, 9, 12])
+
     def snap_pipeline_webmercator(spark, sf_dir):
         # same documents, WebMercatorQuad grid (EPSG:3857): RD-extent
         # coordinates are valid WebMercator metres, so the whole pipeline
@@ -114,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_tile_assign": _hilbert_tile_assign,
         # flagship kernel pipeline (oracle = reference golden tests)
         "snap_pipeline": snap_pipeline,
+        "snap_tile_fanout": snap_tile_fanout,
         "snap_pipeline_webmercator": snap_pipeline_webmercator,
         "snap_pipeline_nztm": snap_pipeline_nztm,
         "span_roundtrip": span_roundtrip,
@@ -154,6 +163,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _snap_tile_fanout_oracle() -> str:
+    from texel_spark.grid.tms import load_embedded
+    from texel_spark.operators.snap_tiles import tile_fanout_oracle_sql
+
+    return tile_fanout_oracle_sql(load_embedded("NetherlandsRDNewQuad"), [5, 9, 12])
+
+
 def oracle_sql() -> dict[str, str]:
     from texel_spark.operators import dedup, events, text
     from texel_spark.operators import spatial_queries as sq
@@ -161,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "tile_assign": sq.tile_assign_sql(),
+        "snap_tile_fanout": _snap_tile_fanout_oracle(),
         "tile_extent_agg": sq.tile_extent_agg_sql(),
         "pip_join": sq.pip_join_sql(),
         "knn_join": sq.knn_join_sql(),

@@ -606,3 +606,86 @@ def snap_pipeline_df(
 ) -> DataFrame:
     """The pipeline as a pure DataFrame (no sink) for entry()/bench."""
     return assign_tiles(snap_documents(geometry_spans(docs), tms, tm_ids, config), tms, tm_ids)
+
+
+# -- DuckDB oracle for the JVM fan-out half (VERDICT r2 item 7) ----------
+
+BBOX_ORACLE_DIR = "/tmp/texel_spark_oracle_bbox"
+
+
+def snap_tile_fanout_df(docs: DataFrame, tms: TileMatrixSet, tm_ids: list[int]) -> DataFrame:
+    """The tile-assignment half of the pipeline, restructured so a DuckDB
+    oracle can verify it hash-exactly: the kernel's snapped bboxes (the
+    deterministic, golden-pinned half) are materialized to parquet, and
+    the returned DataFrame re-reads that parquet and runs the pure-JVM
+    fan-out (zoom-params join, floor/clamp, covering-tile explode,
+    Morton).  tile_fanout_oracle_sql() performs the identical math in
+    SQL over the same file, so CORRECTNESS gains a rows+schema+hash
+    check on everything downstream of the kernel.
+
+    The write is EAGER (inside this call) so the oracle - which the
+    driver runs after invoking the queries() callable - always reads the
+    bboxes of this run, never a stale file.
+    """
+    spark = docs.sparkSession
+    snapped = snap_documents(geometry_spans(docs), tms, tm_ids)
+    (
+        snapped.select("doc_id", "span_idx", "zoom", "minx", "miny", "maxx", "maxy")
+        .write.mode("overwrite")
+        .parquet(BBOX_ORACLE_DIR)
+    )
+    bbox = spark.read.parquet(BBOX_ORACLE_DIR).withColumn("geom_kind", F.lit("g")).withColumn("n_polys", F.lit(1))
+    return assign_tiles(bbox, tms, tm_ids).select("doc_id", "span_idx", "zoom", "tx", "ty", "tile_id")
+
+
+def _spread_sql(col: str) -> str:
+    """Morton bit-spread as DuckDB SQL, same shift/mask ladder as
+    morton_z_expr (morton/morton.go:22-48)."""
+    expr = f"CAST({col} AS BIGINT)"
+    for shift, mask in (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ):
+        expr = f"((({expr}) | (({expr}) << {shift})) & {mask})"
+    return expr
+
+
+def tile_fanout_oracle_sql(tms: TileMatrixSet, tm_ids: list[int]) -> str:
+    """DuckDB twin of snap_tile_fanout_df's JVM half: identical grid
+    constants (embedded as full-precision literals), identical
+    floor/clamp/explode/Morton math, over the same bbox parquet."""
+    vals = []
+    for z in tm_ids:
+        tm = tms.tile_matrices[z]
+        ox, oy = tms.to_xy_point(tm.point_of_origin)
+        tsx = float(tm.tile_width) * tm.cell_size
+        tsy = float(tm.tile_height) * tm.cell_size
+        top = tm.corner_of_origin == TOP_LEFT
+        vals.append(
+            f"({z}, {float(ox)!r}, {float(oy)!r}, {tsx!r}, {tsy!r}, "
+            f"{tm.matrix_width}, {tm.matrix_height}, {'TRUE' if top else 'FALSE'})"
+        )
+    z = f"({_spread_sql('tx')}) | (({_spread_sql('ty')}) << 1)"
+    return f"""
+WITH params(zoom, ox, oy, tsx, tsy, mw, mh, top_left) AS (VALUES {", ".join(vals)}),
+b AS (SELECT * FROM read_parquet('{BBOX_ORACLE_DIR}/*.parquet')),
+j AS (SELECT b.doc_id, b.span_idx, b.zoom, b.minx, b.miny, b.maxx, b.maxy,
+             p.ox, p.oy, p.tsx, p.tsy, p.mw, p.mh, p.top_left
+      FROM b JOIN params p ON b.zoom = p.zoom),
+r AS (SELECT doc_id, span_idx, zoom,
+             GREATEST(0, CAST(FLOOR((minx - ox) / tsx) AS INT)) AS tx0,
+             LEAST(mw - 1, CAST(FLOOR((maxx - ox) / tsx) AS INT)) AS tx1,
+             GREATEST(0, CAST(FLOOR(CASE WHEN top_left THEN (oy - maxy) / tsy ELSE (miny - oy) / tsy END) AS INT)) AS ty0,
+             LEAST(mh - 1, CAST(FLOOR(CASE WHEN top_left THEN (oy - miny) / tsy ELSE (maxy - oy) / tsy END) AS INT)) AS ty1
+      FROM j),
+ex AS (SELECT doc_id, span_idx, zoom, ty0, ty1,
+              CAST(UNNEST(generate_series(tx0, tx1)) AS INT) AS tx
+       FROM r),
+e AS (SELECT doc_id, span_idx, zoom, tx,
+             CAST(UNNEST(generate_series(ty0, ty1)) AS INT) AS ty
+      FROM ex)
+SELECT doc_id, span_idx, zoom, tx, ty, {z} AS tile_id FROM e
+"""
