@@ -206,3 +206,69 @@ def test_minhash_shuffles_are_signature_sized(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     assert_max_shuffles(minhash_lsh_candidates(docs), 5)
+
+
+def test_streaming_view_click_join_drops_late_clicks(spark, tmp_path):
+    """Watermarked stream-stream interval join (VERDICT r2 item 8):
+    in-window clicks match their views; a click arriving AFTER the
+    watermark has advanced past its event time is dropped (state for its
+    view was evicted), so the output gains no row for it."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from texel_spark.streaming.jobs import streaming_view_click_join
+
+    vdir, cdir, ckpt = str(tmp_path / "views"), str(tmp_path / "clicks"), str(tmp_path / "ck")
+    base = 1_700_000_000  # fixed epoch, deterministic
+
+    def land(path, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+
+    vs = "user_id long, ts timestamp, page string"
+    cs = "user_id long, ts timestamp, target string"
+
+    def ts(off):
+        import datetime
+
+        return datetime.datetime.fromtimestamp(base + off, datetime.timezone.utc).replace(tzinfo=None)
+
+    # batch 1: view at t=0 for users 1,2; click at t=10 for user 1 (in window)
+    land(vdir, [(1, ts(0), "home"), (2, ts(0), "home")], vs)
+    land(cdir, [(1, ts(10), "buy")], cs)
+
+    views = spark.readStream.schema(vs).parquet(vdir)
+    clicks = spark.readStream.schema(cs).parquet(cdir)
+    joined = streaming_view_click_join(views, clicks, watermark="30 seconds", max_span_seconds=60)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("vcj")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = spark.sql("SELECT * FROM vcj").collect()
+        assert {(r["user_id"], r["target"]) for r in got1} == {(1, "buy")}
+
+        # advance both watermarks far past t=0: fresh rows at t=+600
+        land(vdir, [(9, ts(600), "later")], vs)
+        land(cdir, [(9, ts(601), "later-click")], cs)
+        q.processAllAvailable()
+        # watermark updates take effect at the NEXT batch
+        land(vdir, [(8, ts(602), "later2")], vs)
+        land(cdir, [(8, ts(603), "later2-click")], cs)
+        q.processAllAvailable()
+
+        # LATE click for user 2's t=0 view: event time t=20, far behind
+        # the ~t=570 watermark -> view state evicted, click dropped
+        land(cdir, [(2, ts(20), "too-late")], cs)
+        q.processAllAvailable()
+        got2 = spark.sql("SELECT * FROM vcj").collect()
+        pairs = {(r["user_id"], r["target"]) for r in got2}
+        assert (2, "too-late") not in pairs, f"late click joined: {pairs}"
+        assert (1, "buy") in pairs
+        assert (9, "later-click") in pairs and (8, "later2-click") in pairs
+    finally:
+        q.stop()

@@ -138,23 +138,34 @@ def sample_frames(media: DataFrame, fps: float = 1.0, max_frames: int = 8) -> Da
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import numpy as np
+
         for pdf in batches:
-            out = {k: [] for k in ("doc_id", "span_idx", "media_ref", "frame_idx", "ts_ms", "frame")}
-            for doc_id, span_idx, ref, payload in zip(
-                pdf["doc_id"], pdf["span_idx"], pdf["media_ref"], pdf["payload"]
-            ):
-                raw = bytes(payload)
-                duration_ms = 1000 + int.from_bytes(raw[:2], "big") % 30000
-                n = min(max_frames, max(1, int(duration_ms / 1000.0 * fps)))
-                step = duration_ms // n
-                for k in range(n):
-                    out["doc_id"].append(doc_id)
-                    out["span_idx"].append(int(span_idx))
-                    out["media_ref"].append(ref)
-                    out["frame_idx"].append(k)
-                    out["ts_ms"].append(k * step)
-                    out["frame"].append(hashlib.sha256(raw + k.to_bytes(4, "big")).digest())
-            yield pd.DataFrame(out)
+            if not len(pdf):
+                continue
+            raws = [bytes(p) for p in pdf["payload"]]
+            # whole-batch fan-out math in numpy index space; only the
+            # stub decode (sha256 per frame) stays per-row - that's the
+            # line a real codec replaces
+            prefix = np.array([(r[0] << 8) | r[1] if len(r) >= 2 else 0 for r in raws], dtype=np.int64)
+            dur = 1000 + prefix % 30000
+            n = np.minimum(max_frames, np.maximum(1, (dur / 1000.0 * fps).astype(np.int64)))
+            step = dur // n
+            rep = np.repeat(np.arange(len(n)), n)
+            idx = np.arange(int(n.sum())) - np.repeat(np.cumsum(n) - n, n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[rep],
+                    "span_idx": pdf["span_idx"].to_numpy()[rep].astype("int32"),
+                    "media_ref": pdf["media_ref"].to_numpy()[rep],
+                    "frame_idx": idx.astype("int32"),
+                    "ts_ms": idx * step[rep],
+                    "frame": [
+                        hashlib.sha256(raws[r] + int(k).to_bytes(4, "big")).digest()
+                        for r, k in zip(rep, idx)
+                    ],
+                }
+            )
 
     return vids.mapInPandas(stage, schema=FRAME_SCHEMA)
 
@@ -185,16 +196,19 @@ def resize_media(media: DataFrame, target: int = 224) -> DataFrame:
         import hashlib
 
         n_bytes = max(1, target * target // 64)
+        n_iters = -(-n_bytes // 32)  # sha256 chain links per buffer
+
+        def fake_pixels(raw: bytes) -> bytes:
+            # stub decode+resample: the ONLY per-row work; a real codec
+            # (PIL/cv2, absent in this container) slots in here and the
+            # surrounding emit stays columnar
+            seed, chunks = raw, []
+            for _ in range(n_iters):
+                seed = hashlib.sha256(seed).digest()
+                chunks.append(seed)
+            return b"".join(chunks)[:n_bytes]
+
         for pdf in batches:
-            pixels = []
-            for payload in pdf["payload"]:
-                raw = bytes(payload)
-                buf = bytearray()
-                seed = raw
-                while len(buf) < n_bytes:
-                    seed = hashlib.sha256(seed).digest()
-                    buf.extend(seed)
-                pixels.append(bytes(buf[:n_bytes]))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -202,7 +216,7 @@ def resize_media(media: DataFrame, target: int = 224) -> DataFrame:
                     "media_ref": pdf["media_ref"],
                     "width": target,
                     "height": target,
-                    "pixels": pixels,
+                    "pixels": [fake_pixels(bytes(p)) for p in pdf["payload"]],
                 }
             )
 

@@ -143,3 +143,36 @@ def streaming_sessionize(events_stream: DataFrame, gap_seconds: int = 30) -> Dat
     return events_stream.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_view_click_join(
+    views_stream: DataFrame,
+    clicks_stream: DataFrame,
+    watermark: str = "30 seconds",
+    max_span_seconds: int = 60,
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each click matches the
+    views of the same user within the preceding ``max_span_seconds``.
+
+    Both sides carry a watermark and the join condition bounds event time
+    in both directions, so Spark can size the join state and EVICT rows
+    older than the watermark - a click arriving later than the watermark
+    allows finds no retained view state and is dropped (asserted in
+    tests/test_plans_streaming.py).  The batch twin is a plain interval
+    join; this is the streaming surface the reference (Go channels) has
+    no analog for.
+    """
+    v = views_stream.select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"), F.col("page").alias("page")
+    ).withWatermark("view_ts", watermark)
+    c = clicks_stream.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"), F.col("target").alias("target")
+    ).withWatermark("click_ts", watermark)
+    cond = (
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_span_seconds} SECONDS"))
+    )
+    return v.join(c, cond, "inner").select(
+        F.col("v_user").alias("user_id"), "view_ts", "click_ts", "page", "target"
+    )
