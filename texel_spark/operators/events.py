@@ -6,6 +6,12 @@ texel_spark.streaming.jobs) with a watermark; these batch forms are the
 oracle-checkable versions.  Monetary-style doubles are aggregated as
 exact integer cents so Spark's partial-aggregation order cannot change
 the result vs the oracle.
+
+TIMEZONE INVARIANT: F.unix_timestamp interprets timestamps in the Spark
+SESSION timezone, while the DuckDB oracles' epoch() is UTC-fixed.  The
+oracle match holds because texel_spark.session.get_spark pins
+spark.sql.session.timeZone=UTC - do not "simplify" that config away or
+run these operators' oracle comparisons in a non-UTC session.
 """
 
 from __future__ import annotations
