@@ -29,6 +29,13 @@ def get_spark(
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     shuffle_partitions = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    # one BLAS/OpenMP thread per Python worker: Spark already runs one
+    # worker per task slot, so library-internal thread pools only
+    # oversubscribe (32 workers x N openblas threads); measured ~13%
+    # fewer worker CPU cycles on the snap stage at local[32].  Local-mode
+    # workers inherit this process env; executorEnv covers real clusters.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -53,6 +60,8 @@ def get_spark(
         # at 32-wide (neutral at 8).  On a real cluster the same knob is
         # sized from executors*cores.
         b = b.config("spark.sql.files.minPartitionNum", str(cores * 5))
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        b = b.config(f"spark.executorEnv.{var}", "1")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -236,6 +236,12 @@ def main():
         "per_round_efficiency": [p["efficiency"] for p in pair_reports],
         "hw_ceiling": hw,
         "normalized_efficiency": round(eff / spin_ceiling, 3) if spin_ceiling else None,
+        # vs the engine's own numpy kernel under plain multiprocessing at
+        # the same widths - the tightest host bound for THIS workload
+        # (memory-traffic-heavy numpy inflates more than a pure-ALU spin)
+        "normalized_vs_kernel": (
+            round(eff / hw["kernel"]["ceiling"], 3) if hw["kernel"]["ceiling"] else None
+        ),
         "n_docs": n_docs,
         "sf_dir": sf_dir,
         "ts": int(time.time()),
@@ -270,7 +276,10 @@ ANY engine.  The engine's own batch snap kernel under multiprocessing
 measures {hw['kernel']['ceiling']:.3f} at the same widths.
 Engine efficiency normalized to the spin ceiling:
 **{report['normalized_efficiency']:.3f}** (1.0 = the engine loses
-nothing beyond what the host itself imposes).
+nothing beyond what the host itself imposes).  Normalized to the
+kernel-under-multiprocessing ceiling - the tightest host bound for this
+memory-traffic-heavy workload, measured with NO Spark in the loop -
+**{report['normalized_vs_kernel']:.3f}**.
 
 Measurement notes: this shared-host VM has minutes-long noise windows
 (everything, including plain spin loops, runs 1.3-4x slower inside
