@@ -45,7 +45,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 2000-row Arrow batches: the whole-batch numpy snap kernel's
+        # working set (per-level key/candidate arrays over all points in
+        # the batch) then stays cache-resident - measured 12-19% fewer
+        # Python-worker CPU cycles and faster walls at BOTH local[8] and
+        # local[32] vs 10k-row batches on the flagship stage
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
