@@ -152,3 +152,30 @@ def test_stage_keep_points_and_lines_and_reverse(spark):
     want = _legacy_rows(pdf, tms, tm_ids, cfg)
     got = _new_rows(spark, pdf, tms, tm_ids, cfg)
     assert got == want
+
+
+def test_stage_wkt_text_stable_under_batch_composition(spark):
+    """ADVICE r3: one odd row must not flip clean rows to the scalar
+    formatter - the wkt TEXT of a clean row is byte-identical whether or
+    not a 3D/EMPTY row shares its Arrow batch."""
+    tms = load_embedded("NetherlandsRDNewQuad")
+    tm_ids = [9]
+    cfg = SnapConfig(ignore_outside_grid=True)
+    clean = ("d-clean", 0, "POLYGON ((155000 463000, 156000 463000, 156000 464000, 155000 464000))")
+    odd = ("d-odd", 1, "POLYGON ((155000 463000 1, 155050 463000 1, 155050 463050 1))")
+
+    def wkt_of(rows, doc):
+        pdf = pd.DataFrame(
+            {"doc_id": [r[0] for r in rows], "span_idx": [r[1] for r in rows], "wkt": [r[2] for r in rows]}
+        )
+        from texel_spark.operators.snap_tiles import snap_documents
+
+        df = spark.createDataFrame(pdf).coalesce(1)  # one Arrow batch
+        return sorted(
+            r["wkt"] for r in snap_documents(df, tms, tm_ids, cfg).collect() if r["doc_id"] == doc
+        )
+
+    alone = wkt_of([clean], "d-clean")
+    mixed = wkt_of([clean, odd], "d-clean")
+    assert alone == mixed
+    assert alone  # the clean row did emit

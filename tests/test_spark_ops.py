@@ -498,3 +498,106 @@ def test_run_pipeline_mid_zoom_kill_resumes_per_bucket(spark, tmp_path):
     total = spark.read.parquet(os.path.join(out, "tiles")).count()
     assert total == s["metrics"]["rows_per_zoom"][9]
     assert spark.read.parquet(os.path.join(out, "geoms")).where("zoom = 9").count() > 0
+
+
+# -- round-4 guards: packed-key bit budget (VERDICT r3 item 2) --------------
+
+
+def test_pack_budget_assert_boundary():
+    from texel_spark.operators.spatial_queries import _PACK_LIMIT, _assert_pack_budget
+
+    _assert_pack_budget(_PACK_LIMIT - 1, "ok")  # widest index that fits
+    with pytest.raises(ValueError, match="packed long join-key budget"):
+        _assert_pack_budget(_PACK_LIMIT, "too wide")
+
+
+def test_pip_join_deep_zoom_fails_loudly(spark):
+    """z=22 on the embedded grid (levels 0..16) must be a loud error,
+    never a silent KeyError or a colliding packed key."""
+    from texel_spark.operators.spatial_queries import pip_join
+
+    events = spark.range(10).selectExpr("id as event_id")
+    nation = spark.range(5).selectExpr("id as n_nationkey")
+    with pytest.raises(ValueError, match="zoom 22"):
+        pip_join(events, nation, zoom=22)
+
+
+def test_pip_join_all_embedded_zooms_fit_pack_budget(spark):
+    """Every zoom the embedded grid defines stays inside |t| < 2^21, so
+    the guard never fires on a legal call (plan-only - no execution)."""
+    from texel_spark.operators.spatial_queries import pip_join
+
+    events = spark.range(10).selectExpr("id as event_id")
+    nation = spark.range(5).selectExpr("id as n_nationkey")
+    for z in range(17):
+        pip_join(events, nation, zoom=z)  # raises if the budget trips
+
+
+def test_knn_join_grid_tiny_cell_fails_loudly(spark):
+    from texel_spark.operators.spatial_queries import knn_join_grid
+
+    events = spark.range(10).selectExpr("id as event_id")
+    nation = spark.range(5).selectExpr("id as n_nationkey")
+    with pytest.raises(ValueError, match="packed long join-key budget"):
+        knn_join_grid(events, nation, k=1, n_queries=10, cell=0.05).collect()
+
+
+# -- round-4: columnar media decode parity (VERDICT r3 item 5 + ADVICE) -----
+
+
+def test_media_features_columnar_matches_scalar_formula(spark, docs):
+    """The vectorized interior must equal the original scalar stub:
+    w/h from payload[0]/[1], embedding = first-16-bytes / 255."""
+    import numpy as np
+
+    from texel_spark.operators.multimodal import extract_media_features, media_spans
+
+    m = media_spans(docs).cache()
+    payloads = {(r["doc_id"], r["span_idx"]): bytes(r["payload"]) for r in m.collect()}
+    for r in extract_media_features(m).collect():
+        p = payloads[(r["doc_id"], r["span_idx"])]
+        assert r["width"] == 64 + p[0] % 192
+        assert r["height"] == 64 + p[1] % 192
+        want = (np.frombuffer(p[:16], dtype=np.uint8).astype(np.float32) / 255.0).tolist()
+        assert r["embedding"] == pytest.approx(want)
+
+
+def test_media_features_unknown_kind_raises(spark):
+    from pyspark.sql import functions as F
+
+    from texel_spark.operators.multimodal import extract_media_features, media_spans
+    from texel_spark.sources.documents import synth_documents
+
+    m = media_spans(synth_documents(spark, 8, partitions=1)).withColumn(
+        "media_kind", F.lit("holo")
+    )
+    with pytest.raises(Exception, match="no codec for media kind"):
+        extract_media_features(m).collect()
+
+
+def test_sample_frames_degenerate_payload_seed(spark):
+    """ADVICE r3: 1-byte payload seeds int.from_bytes(raw[:2]) == raw[0]
+    (not 0); empty payload seeds 0."""
+    import pandas as pd
+
+    from texel_spark.operators.multimodal import sample_frames
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c"],
+            "span_idx": [0, 0, 0],
+            "media_ref": ["vid://a", "vid://b", "vid://c"],
+            "media_kind": ["vid", "vid", "vid"],
+            "payload": [b"\x7f", b"", b"\x12\x34rest"],
+            "n_bytes": [1, 0, 6],
+        }
+    )
+    m = spark.createDataFrame(pdf)
+    rows = sample_frames(m, fps=1.0, max_frames=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # duration = 1000 + seed % 30000; n = min(8, max(1, dur/1000))
+    assert len(by_doc["a"]) == min(8, max(1, (1000 + 0x7F % 30000) // 1000))
+    assert len(by_doc["b"]) == 1  # seed 0 -> dur 1000 -> 1 frame
+    assert len(by_doc["c"]) == min(8, max(1, (1000 + 0x1234 % 30000) // 1000))

@@ -214,3 +214,61 @@ def test_format_matches_scalar_formatter_in_float_space():
 def test_format_single_point_ring_no_close():
     got = _fmt_geoms([(False, [[[(5 * POW10, -5 * POW10)]]], [False])])
     assert got == ["POLYGON ((5 -5))"]
+
+
+# -- round-4 fixes: per-row resilience + float-safety guard ------------------
+
+
+def test_resilient_parse_isolates_bad_rows():
+    from texel_spark.functions.wkt_batch import parse_polygons_batch_resilient
+
+    rng = random.Random(11)
+    clean = [_random_poly_wkt(rng) for _ in range(40)]
+    texts = list(clean)
+    texts.insert(3, "POLYGON ((0 0 1, 1 0 1, 1 1 1))")  # 3D
+    texts.insert(17, "POLYGON EMPTY")
+    texts.insert(30, "POINT (1.5 -2.5)")  # passthrough, NOT a fallback
+    parsed, fb = parse_polygons_batch_resilient(texts)
+    assert fb == [3, 17]
+    assert parsed.other_rows == [30]
+    # every clean row parsed on the fast path, identically to an
+    # all-clean batch of the same texts
+    got = _batch_members(parsed)
+    clean_idx = [i for i in range(len(texts)) if i not in (3, 17, 30)]
+    assert list(parsed.rows) == clean_idx
+    for fast_i, i in enumerate(clean_idx):
+        assert got[fast_i] == _scalar_members(texts[i]), texts[i]
+
+
+def test_resilient_parse_clean_batch_has_no_fallbacks():
+    from texel_spark.functions.wkt_batch import parse_polygons_batch_resilient
+
+    rng = random.Random(13)
+    texts = [_random_poly_wkt(rng) for _ in range(25)]
+    parsed, fb = parse_polygons_batch_resilient(texts)
+    assert fb == []
+    assert parsed.rows.size == 25
+
+
+def test_resilient_parse_all_bad():
+    from texel_spark.functions.wkt_batch import parse_polygons_batch_resilient
+
+    parsed, fb = parse_polygons_batch_resilient(
+        ["POLYGON EMPTY", "POLYGON ((0 0 1, 1 0 1, 1 1 1))"]
+    )
+    assert fb == [0, 1]
+    assert parsed.rows.size == 0
+
+
+def test_float_representable_overflow_guard():
+    from texel_spark.functions.wkt_batch import _float_representable
+
+    # safely-representable big value passes (rounded, not raised)
+    ok = np.array([(1 << 62) + 12345], dtype=np.int64)
+    out = _float_representable(ok)
+    assert out[0] == np.int64(np.float64(ok[0]))
+    # within 512 of 2^63: float64 rounds to 2^63, back-cast undefined
+    with pytest.raises(ValueError, match="float64-safe"):
+        _float_representable(np.array([(1 << 63) - 100], dtype=np.int64))
+    with pytest.raises(ValueError, match="float64-safe"):
+        _float_representable(np.array([-(1 << 63) + 100], dtype=np.int64))

@@ -200,6 +200,55 @@ def parse_polygons_batch(texts) -> ParsedPolygonBatch:
     )
 
 
+def _concat_parsed(a: ParsedPolygonBatch, b: ParsedPolygonBatch, row_base: int) -> ParsedPolygonBatch:
+    """Merge two sub-batch parses; ``b``'s row indexes shift by ``row_base``."""
+    return ParsedPolygonBatch(
+        np.concatenate([a.rows, b.rows + row_base]),
+        np.concatenate([a.is_multi, b.is_multi]),
+        np.concatenate([a.member_fastrow, b.member_fastrow + a.rows.size]),
+        np.concatenate([a.ring_member, b.ring_member + a.member_fastrow.size]),
+        np.concatenate([a.ring_start, b.ring_start + a.xy.shape[0]]),
+        np.concatenate([a.ring_len, b.ring_len]),
+        np.concatenate([a.xy, b.xy]),
+        list(a.other_rows) + [r + row_base for r in b.other_rows],
+    )
+
+
+def parse_polygons_batch_resilient(texts) -> tuple[ParsedPolygonBatch, list[int]]:
+    """Per-row-resilient batch parse (ADVICE r3): one odd row (3D WKT,
+    EMPTY, non-ascii) must not flip the WHOLE Arrow batch to the scalar
+    codec - that made the emitted wkt TEXT style sensitive to batch
+    composition (fixed-point vs repr() shortest-roundtrip; parsed floats
+    were identical but text hashes were not).
+
+    Tries the whole batch first (zero overhead on the clean path); on
+    WktBatchFallback, bisects so only the offending rows are excluded.
+    Returns (parsed, fallback_rows): rows in ``fallback_rows`` need the
+    full scalar codec; every other row keeps the digit-exact batch
+    formatter regardless of what else shares its batch.  A single bad
+    row costs O(log n) half-batch reparses - rare by construction.
+    """
+    try:
+        return parse_polygons_batch(texts), []
+    except WktBatchFallback:
+        if len(texts) <= 1:
+            empty = ParsedPolygonBatch(
+                np.empty(0, np.int64),
+                np.empty(0, bool),
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty((0, 2), np.float64),
+                [],
+            )
+            return empty, list(range(len(texts)))
+        mid = len(texts) // 2
+        left, fb_l = parse_polygons_batch_resilient(texts[:mid])
+        right, fb_r = parse_polygons_batch_resilient(texts[mid:])
+        return _concat_parsed(left, right, mid), fb_l + [r + mid for r in fb_r]
+
+
 # -- fixed-point formatting --------------------------------------------------
 
 _POW10_TABLE = 10 ** np.arange(19, dtype=np.int64)
@@ -216,6 +265,13 @@ def _float_representable(vals: np.ndarray) -> np.ndarray:
     big = np.abs(vals) > _TWO53
     if not big.any():
         return vals
+    # int64 values within 512 of +/-2^63 round to +/-2^63 as float64;
+    # float64(2^63) -> int64 is an undefined numpy cast (the negative
+    # side is symmetric-guarded for safety).  Unreachable for
+    # grid-bounded snap output, but fail loudly rather than emit garbage.
+    hi = np.int64((1 << 63) - 512)
+    if ((vals[big] >= hi) | (vals[big] <= -hi)).any():
+        raise ValueError("ordinate beyond float64-safe int64 range")
     out = vals.copy()
     out[big] = vals[big].astype(np.float64).astype(np.int64)
     return out

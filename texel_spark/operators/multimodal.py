@@ -79,32 +79,41 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     NotImplementedError for media kinds a real codec stack would need.
     """
 
-    def _fake_decode(payload: bytes, kind: str):
-        if kind not in ("img", "aud", "vid"):
-            raise NotImplementedError(f"no codec for media kind {kind!r}")
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        b = np.frombuffer(payload[:16], dtype=np.uint8).astype(np.float32)
-        w = 64 + int(payload[0]) % 192
-        h = 64 + int(payload[1]) % 192
-        emb = (b / 255.0).tolist()
-        return w, h, emb
-
-    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ws, hs, embs = [], [], []
-            for payload, kind in zip(pdf["payload"], pdf["media_kind"]):
-                w, h, emb = _fake_decode(bytes(payload), kind)
-                ws.append(w)
-                hs.append(h)
-                embs.append(emb)
+            if not len(pdf):
+                continue
+            kinds = pdf["media_kind"].to_numpy()
+            bad = ~np.isin(kinds, ("img", "aud", "vid"))
+            if bad.any():
+                raise NotImplementedError(f"no codec for media kind {kinds[bad][0]!r}")
+            raws = [bytes(p) for p in pdf["payload"]]
+            # whole-batch stub decode: one contiguous (n, 16) byte matrix,
+            # all dimension/embedding math as numpy array programs.  The
+            # per-row residue is only byte marshalling - a real codec
+            # (PIL/ffmpeg, absent in this container) slots in where the
+            # matrix is built, and the columnar emit stays as-is.
+            lens = np.fromiter((len(r) for r in raws), dtype=np.int64, count=len(raws))
+            if lens.min() == 0:
+                raise ValueError("empty media payload")
+            head = b"".join(r[:16].ljust(16, b"\x00") for r in raws)
+            mat = np.frombuffer(head, dtype=np.uint8).reshape(len(raws), 16)
+            emb = mat.astype(np.float32) / np.float32(255.0)
+            if (lens >= 16).all():
+                embs = list(emb)
+            else:
+                # degenerate short payloads keep their true length, same
+                # as the scalar np.frombuffer(payload[:16]) did
+                embs = [e[:l] for e, l in zip(emb, np.minimum(lens, 16))]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "span_idx": pdf["span_idx"],
                     "media_ref": pdf["media_ref"],
-                    "width": ws,
-                    "height": hs,
+                    "width": 64 + (mat[:, 0].astype(np.int64) % 192),
+                    "height": 64 + (mat[:, 1].astype(np.int64) % 192),
                     "embedding": embs,
                 }
             )
@@ -147,7 +156,13 @@ def sample_frames(media: DataFrame, fps: float = 1.0, max_frames: int = 8) -> Da
             # whole-batch fan-out math in numpy index space; only the
             # stub decode (sha256 per frame) stays per-row - that's the
             # line a real codec replaces
-            prefix = np.array([(r[0] << 8) | r[1] if len(r) >= 2 else 0 for r in raws], dtype=np.int64)
+            # matches int.from_bytes(raw[:2], "big") for EVERY length,
+            # including the degenerate 1-byte payload (== raw[0]) and
+            # empty (== 0), so frame counts/timestamps are length-stable
+            prefix = np.array(
+                [(r[0] << 8) | r[1] if len(r) >= 2 else (r[0] if r else 0) for r in raws],
+                dtype=np.int64,
+            )
             dur = 1000 + prefix % 30000
             n = np.minimum(max_frames, np.maximum(1, (dur / 1000.0 * fps).astype(np.int64)))
             step = dur // n

@@ -28,9 +28,12 @@ Scale notes
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
+import shutil
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -151,11 +154,13 @@ def _process_batch(pdf, tms_, tm_ids_, cfg):
         out["n_polys"].append(n_polys)
 
     texts = pdf["wkt"].tolist()
-    try:
-        parsed = wb.parse_polygons_batch(texts)
-    except wb.WktBatchFallback:
-        _legacy_batch(pdf, tms_, tm_ids_, cfg, emit)
-        return pd.DataFrame(out)
+    # per-row resilience (ADVICE r3): odd rows (3D/EMPTY WKT) route
+    # through the scalar codec INDIVIDUALLY, so the emitted wkt text of
+    # every clean row stays the digit-exact batch formatter no matter
+    # what else shares the Arrow batch
+    parsed, fb_rows = wb.parse_polygons_batch_resilient(texts)
+    if fb_rows:
+        _legacy_batch(pdf.iloc[fb_rows].reset_index(drop=True), tms_, tm_ids_, cfg, emit)
 
     doc_ids = pdf["doc_id"].tolist()
     span_idxs = pdf["span_idx"].tolist()
@@ -610,7 +615,20 @@ def snap_pipeline_df(
 
 # -- DuckDB oracle for the JVM fan-out half (VERDICT r2 item 7) ----------
 
-BBOX_ORACLE_DIR = "/tmp/texel_spark_oracle_bbox"
+# Per-process scratch path (VERDICT r3 item 3): a fixed global path lets
+# two concurrent sessions clobber each other's oracle bboxes.  The path
+# is pinned once at import so queries() and oracle_sql() - which the
+# driver invokes in the same process - always agree on it, regardless of
+# call order, while separate processes never share a file.  Cleaned up
+# at interpreter exit.
+BBOX_ORACLE_DIR = f"/tmp/texel_spark_oracle_bbox_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+
+
+def _cleanup_bbox_oracle_dir() -> None:
+    shutil.rmtree(BBOX_ORACLE_DIR, ignore_errors=True)
+
+
+atexit.register(_cleanup_bbox_oracle_dir)
 
 
 def snap_tile_fanout_df(docs: DataFrame, tms: TileMatrixSet, tm_ids: list[int]) -> DataFrame:

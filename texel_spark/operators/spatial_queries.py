@@ -17,6 +17,8 @@ even-odd refine and the oracle's strict sign test equivalent.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -27,6 +29,25 @@ RD_ORIGIN_X = -285401.92
 RD_ORIGIN_Y = 903401.92
 RD_MIN_Y = 22598.08
 RD_SPAN = 880803.84
+
+# packed-long tile/grid key budget: pack(t) = (t + 2^21) * 2^22 + ... is
+# injective only for |t| < 2^21 (21 bits + sign headroom per ordinate in
+# one int64).  Quad grids up to zoom 21 fit; anything wider must fail
+# loudly rather than silently collide keys in the equi-join.
+_PACK_LIMIT = 1 << 21
+
+
+def _assert_pack_budget(max_abs_index: int, context: str) -> None:
+    """Fail loudly when a grid/tile ordinate cannot fit the packed-long
+    join key (|index| < 2^21).  A collision would surface as WRONG join
+    candidates, mostly-but-not-always masked by the exact refine, so this
+    is a correctness guard, not an optimization knob."""
+    if max_abs_index >= _PACK_LIMIT:
+        raise ValueError(
+            f"{context}: grid ordinate range {max_abs_index} exceeds the "
+            f"packed long join-key budget (|index| < 2^21 = {_PACK_LIMIT}); "
+            "use a shallower zoom / larger cell, or widen the key packing"
+        )
 
 
 def points_from_events(events: DataFrame) -> DataFrame:
@@ -80,6 +101,12 @@ FROM (
 
 def tile_size(zoom: int, tms: TileMatrixSet | None = None) -> float:
     tms = tms or load_embedded("NetherlandsRDNewQuad")
+    if zoom not in tms.tile_matrices:
+        levels = sorted(tms.tile_matrices)
+        raise ValueError(
+            f"zoom {zoom} is not defined for grid {tms.id!r} "
+            f"(levels {levels[0]}..{levels[-1]})"
+        )
     tm = tms.tile_matrices[zoom]
     return float(tm.tile_width) * tm.cell_size
 
@@ -168,12 +195,13 @@ def pip_join(events: DataFrame, nation: DataFrame, zoom: int = 7) -> DataFrame:
     UnsafeHashedRelation.getValue/BytesToBytesMap.safeLookup).
     """
     ts = tile_size(zoom)
+    _assert_pack_budget(int(math.ceil(RD_SPAN / ts)), f"pip_join(zoom={zoom})")
     tris = triangles_from_nation(nation)
 
     def pack(tx, ty):
-        # injective for |t| < 2^21; build-side tiles can go negative
-        # (triangle bbox dips below the grid origin), probe side cannot -
-        # the offset keeps the packing collision-free across both
+        # injective for |t| < 2^21 (guarded above); build-side tiles can
+        # go negative (triangle bbox dips below the grid origin), probe
+        # side cannot - the offset keeps the packing collision-free
         return (tx + F.lit(1 << 21)) * F.lit(1 << 22) + (ty + F.lit(1 << 21))
 
     # polygon -> covering tile range (bbox of the triangle)
@@ -480,6 +508,12 @@ def knn_join_grid(
         F.min("gx").alias("x0"), F.max("gx").alias("x1"),
         F.min("gy").alias("y0"), F.max("gy").alias("y1"),
     ).collect()[0]
+    # all join keys are ring cells clamped to these corpus bounds, so
+    # bounding them bounds every packed key in the query
+    _assert_pack_budget(
+        max(abs(int(b[c_])) for c_ in ("x0", "x1", "y0", "y1")),
+        f"knn_join_grid(cell={cell})",
+    )
     span_cells = max(int(b["x1"] - b["x0"]), int(b["y1"] - b["y0"])) + 1
 
     q0 = pts.select(
