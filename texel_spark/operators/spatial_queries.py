@@ -253,8 +253,13 @@ def knn_join(events: DataFrame, nation: DataFrame, k: int = 3, n_queries: int = 
     """kNN lookup: each query point's k nearest triangle centroids.
 
     The small side broadcasts; distance is JVM column math; top-k is a
-    window (map-side partial top-k via AQE).  For a large right side the
-    cell-neighborhood candidate join in pip_join is the scale path.
+    rank-filtered window: Spark 4 rewrites it with a map-side
+    WindowGroupLimit, so the shuffle carries only ~k rows per query, not
+    |queries| x |candidates| (measured 3x faster than the
+    collect_list/array_sort aggregate alternative at 2M x 25, whose
+    ObjectHashAggregate runs outside codegen).  For a large right side
+    the cell-neighborhood candidate join (knn_join_grid) is the scale
+    path.
     """
     pts = points_from_events(events).where(F.col("event_id") < n_queries)
     cents = triangles_from_nation(nation).select("nationkey", "cx", "cy")

@@ -168,6 +168,24 @@ def _spin_unit(n):
     return x
 
 
+def _jvm_probe_secs(threads: int) -> float:
+    """Per-unit wall seconds of the no-Spark JVM stream+probe control
+    (tools/jvmcontrol/StreamProbe.java) at the given thread count."""
+    d = os.path.join(REPO, "tools", "jvmcontrol")
+    if not os.path.exists(os.path.join(d, "StreamProbe.class")):
+        subprocess.run(["javac", "StreamProbe.java"], cwd=d, check=True, timeout=300)
+    out = subprocess.run(
+        ["java", "-cp", d, "StreamProbe", str(threads), "20000000"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("PERUNIT "):
+            return float(line.split()[1])
+    raise RuntimeError(f"no PERUNIT line: {out.stderr[-500:]}")
+
+
 def hw_ceiling(n_low: int, n_high: int) -> dict:
     """Hardware scaling ceiling at the same two widths, via plain
     multiprocessing (no Spark): per-unit wall time with n_low vs n_high
@@ -203,6 +221,22 @@ def hw_ceiling(n_low: int, n_high: int) -> dict:
             "per_unit_secs_pairs": pairs,
             "ceiling": round(ratios[len(ratios) // 2], 3),
         }
+    # third control: no-Spark JVM long-stream + hash-probe loop (the
+    # joins' traffic profile - codegen'd arithmetic over a cache-resident
+    # broadcast table).  The python-kernel and pure-ALU controls have
+    # different profiles and materially different host ceilings.
+    ratios, pairs = [], []
+    for _ in range(3):
+        per = {}
+        for procs in (n_low, n_high):
+            per[procs] = _jvm_probe_secs(procs)
+        ratios.append(per[n_low] / per[n_high])
+        pairs.append({str(k): round(v, 2) for k, v in per.items()})
+    ratios.sort()
+    out["jvmstream"] = {
+        "per_unit_secs_pairs": pairs,
+        "ceiling": round(ratios[len(ratios) // 2], 3),
+    }
     return out
 
 
@@ -228,6 +262,22 @@ def main():
     lo, hi = median_pair["low"], median_pair["high"]
     hw = hw_ceiling(n_low, n_high)
     spin_ceiling = hw["spin"]["ceiling"]
+    # workload-weighted host ceiling: the maximum blend efficiency ANY
+    # engine could reach on this host, given each component's own
+    # no-Spark ceiling weighted by its time share at the low width
+    # (harmonic: T_high_min = sum_i t_i / (R * c_i), so
+    # C = 1 / sum_i (w_i / c_i)).  The python-kernel ceiling bounds the
+    # snap stage; the JVM stream+probe ceiling bounds the codegen'd
+    # joins - blending them against the kernel ceiling alone would
+    # overstate what the host permits for the join share.
+    t_snap = lo["queries"].get("snap_pipeline", 0.0)
+    t_join = lo["queries"].get("pip_join", 0.0) + lo["queries"].get("knn_join", 0.0)
+    kc = hw["kernel"]["ceiling"]
+    jc = hw["jvmstream"]["ceiling"]
+    weighted_ceiling = None
+    if kc and jc and (t_snap + t_join) > 0:
+        tot = t_snap + t_join
+        weighted_ceiling = round(1.0 / ((t_snap / tot) / kc + (t_join / tot) / jc), 3)
     report = {
         "low": lo,
         "high": hi,
@@ -242,11 +292,62 @@ def main():
         "normalized_vs_kernel": (
             round(eff / hw["kernel"]["ceiling"], 3) if hw["kernel"]["ceiling"] else None
         ),
+        "weighted_ceiling": weighted_ceiling,
+        "normalized_vs_weighted": (
+            round(eff / weighted_ceiling, 3) if weighted_ceiling else None
+        ),
         "n_docs": n_docs,
         "sf_dir": sf_dir,
         "ts": int(time.time()),
     }
     print(json.dumps(report))
+
+    # -- cross-run aggregation (VERDICT r3 item 1a) ----------------------
+    # every harness invocation persists its full report; the headline in
+    # BASELINE.md is the MEDIAN ACROSS ALL RUNS of the round (with the
+    # spread), never a selected run.
+    round_tag = os.environ.get("SPARK_GRAFT_ROUND_TAG", "r4")
+    runs_dir = os.path.join(REPO, "BENCH", "runs")
+    os.makedirs(runs_dir, exist_ok=True)
+    run_path = os.path.join(
+        runs_dir, f"scaling_{n_low}_{n_high}_{round_tag}_{report['ts']}.json"
+    )
+    with open(run_path, "w") as f:
+        json.dump(report, f, indent=1)
+
+    import glob as _glob
+
+    all_runs = []
+    for p in sorted(_glob.glob(os.path.join(runs_dir, f"scaling_{n_low}_{n_high}_{round_tag}_*.json"))):
+        with open(p) as f:
+            all_runs.append(json.load(f))
+    raw_effs = sorted(r["scaling_efficiency"] for r in all_runs)
+    norm_effs = sorted(
+        r["normalized_vs_kernel"] for r in all_runs if r.get("normalized_vs_kernel")
+    )
+    spin_effs = sorted(
+        r["normalized_efficiency"] for r in all_runs if r.get("normalized_efficiency")
+    )
+    weighted_effs = sorted(
+        r["normalized_vs_weighted"] for r in all_runs if r.get("normalized_vs_weighted")
+    )
+
+    def _median(xs):
+        return xs[len(xs) // 2] if len(xs) % 2 else (xs[len(xs) // 2 - 1] + xs[len(xs) // 2]) / 2
+
+    cross = {
+        "n_runs": len(all_runs),
+        "raw_median": round(_median(raw_effs), 3),
+        "raw_min": raw_effs[0],
+        "raw_max": raw_effs[-1],
+        "kernel_normalized_median": round(_median(norm_effs), 3) if norm_effs else None,
+        "spin_normalized_median": round(_median(spin_effs), 3) if spin_effs else None,
+        "weighted_normalized_median": round(_median(weighted_effs), 3) if weighted_effs else None,
+        "per_run_raw": raw_effs,
+        "per_run_kernel_normalized": norm_effs,
+        "per_run_weighted_normalized": weighted_effs,
+    }
+    print("CROSS-RUN " + json.dumps(cross))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -261,10 +362,25 @@ executors (driver instruction; no real cluster available here).
 |---|---|---|---|
 | local[{n_low}] | {lo['rows']} | {lo['secs']} | {lo['value']} |
 | local[{n_high}] | {hi['rows']} | {hi['secs']} | {hi['value']} |
+(table: latest run's median pair; the headline numbers below are
+cross-run)
 
-**Scaling efficiency ({n_low} -> {n_high} cores): {eff:.3f} raw**
-(median of per-round paired measurements: {report['per_round_efficiency']};
-target >= 0.8, BASELINE.json north_rule)
+**Scaling efficiency ({n_low} -> {n_high} cores), CROSS-RUN MEDIAN of
+all {cross['n_runs']} harness runs this round: {cross['raw_median']:.3f} raw**
+(range {cross['raw_min']:.3f}-{cross['raw_max']:.3f}; per-run medians
+{cross['per_run_raw']}; target >= 0.8, BASELINE.json north_rule).
+Cross-run median normalized to the WORKLOAD-WEIGHTED host ceiling (each
+component bounded by its own no-Spark control - python numpy kernel for
+the snap stage, JVM stream+probe for the codegen'd joins - harmonically
+weighted by time share): **{cross['weighted_normalized_median']}**
+(per-run {cross['per_run_weighted_normalized']}).  Normalized to the
+kernel ceiling alone: {cross['kernel_normalized_median']} (per-run
+{cross['per_run_kernel_normalized']}); to the pure-ALU spin ceiling:
+{cross['spin_normalized_median']}.  Every run's full JSON (including
+all three per-run ceilings) is in BENCH/runs/.
+
+This run's median-of-{len(report['per_round_efficiency'])}-paired-rounds: {eff:.3f}
+(rounds {report['per_round_efficiency']}).
 
 **Hardware ceiling at the same widths (plain multiprocessing, no
 Spark):** a pure-ALU integer spin loop - zero memory traffic, zero
@@ -273,7 +389,14 @@ from {n_low} -> {n_high} busy cores on this host (median of paired
 rounds: {json.dumps(hw['spin']['per_unit_secs_pairs'])}); the hypervisor
 gives back per-core speed at the wider setting, a bound that applies to
 ANY engine.  The engine's own batch snap kernel under multiprocessing
-measures {hw['kernel']['ceiling']:.3f} at the same widths.
+measures {hw['kernel']['ceiling']:.3f} at the same widths, and a
+no-Spark JVM long-stream + hash-probe loop (the joins' traffic profile,
+tools/jvmcontrol/StreamProbe.java) measures
+{hw['jvmstream']['ceiling']:.3f} (pairs
+{json.dumps(hw['jvmstream']['per_unit_secs_pairs'])}).  This run's
+workload-weighted host ceiling (harmonic, by time share at
+local[{n_low}]): {report['weighted_ceiling']}; this run normalized to
+it: {report['normalized_vs_weighted']}.
 Engine efficiency normalized to the spin ceiling:
 **{report['normalized_efficiency']:.3f}** (1.0 = the engine loses
 nothing beyond what the host itself imposes).  Normalized to the
@@ -303,7 +426,7 @@ Reproduce: `python3 tools/bench_scaling.py {n_low} {n_high} {n_docs}`;
 the driver-facing single-line bench is `python3 bench.py`
 (SPARK_GRAFT_SF_DIR/SPARK_GRAFT_CPUS env).
 """)
-    return 0 if eff >= 0.8 else 1
+    return 0 if cross["raw_median"] >= 0.8 else 1
 
 
 if __name__ == "__main__":
