@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "cosine_topk": lambda s, d: similarity.cosine_topk(_t(s, d, "embeddings")),
         "ivf_cosine_topk": lambda s, d: similarity.ivf_cosine_topk(_t(s, d, "embeddings")),
+        "ivf_kmeans_topk": lambda s, d: similarity.ivf_kmeans_topk(_t(s, d, "embeddings")),
         # threshold 0.3 here: the synthetic embeddings are random (max
         # same-cell cosine ~0.43), so the oracle compares NONZERO rows;
         # the operator default stays 0.95 (real near-dup), pinned by the
@@ -197,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_rollup": events.HOURLY_ROLLUP_SQL,
         "sessionize": events.sessionize_sql(),
         # snap_pipeline / span_roundtrip / minhash_lsh / simhash_buckets /
-        # doc_fingerprints / ivf_cosine_topk / embedding_near_dup /
-        # media_* are non-SQL-expressible (custom kernels) -> rows-only.
+        # doc_fingerprints / ivf_cosine_topk / ivf_kmeans_topk /
+        # embedding_near_dup / media_* are non-SQL-expressible (custom
+        # kernels / iterative training) -> rows-only.
     }

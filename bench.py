@@ -105,6 +105,9 @@ def main() -> None:
     exact_cl = {(r["query_id"], r["neighbor_id"]) for r in similarity.cosine_topk(clustered).collect()}
     ivf_cl = {(r["query_id"], r["neighbor_id"]) for r in similarity.ivf_cosine_topk(clustered).collect()}
     ann_recall_clustered = round(len(exact_cl & ivf_cl) / max(1, len(exact_cl)), 3)
+    # trained-quantizer IVF (k-means) on the same fixture
+    km_cl = {(r["query_id"], r["neighbor_id"]) for r in similarity.ivf_kmeans_topk(clustered).collect()}
+    ann_recall_kmeans = round(len(exact_cl & km_cl) / max(1, len(exact_cl)), 3)
     clustered.unpersist()
 
     headline = ["snap_pipeline", "pip_join", "knn_join"]
@@ -148,6 +151,7 @@ def main() -> None:
                 "headline_secs": round(headline_secs, 3),
                 "ann_recall_at_5": ann_recall,
                 "ann_recall_at_5_clustered": ann_recall_clustered,
+                "ann_recall_at_5_kmeans_clustered": ann_recall_kmeans,
                 "regressions": regressions,
             }
         )

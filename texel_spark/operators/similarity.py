@@ -148,6 +148,152 @@ def ivf_cosine_topk(
     )
 
 
+def train_kmeans_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 8,
+    sample_fraction: float | None = None,
+    seed: int = 7,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer - the
+    trained replacement for the data-independent sign-bit cells.
+
+    Scale shape: centroids live on the driver (k x dim floats - tiny)
+    and reach executors as broadcast literals; each iteration is ONE
+    narrow pass over the corpus (assign = JVM column math, no Python
+    workers) plus a map-side-combined aggregate whose shuffle carries at
+    most k x dim x partitions partial rows.  For billion-vector corpora
+    pass sample_fraction to train on a deterministic hash-sample - the
+    standard IVF recipe (quantizer quality needs only a sample).
+
+    Deterministic: init picks the k vectors with the smallest
+    xxhash64(vec_id, seed) (a seeded distributed reservoir, stable
+    across partitionings); ties in assignment break toward the lower
+    cell index, and float aggregation is summed in a fixed (cell, dim)
+    grouping.  Empty cells keep their previous centroid.
+    """
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    if sample_fraction is not None:
+        # deterministic hash-sample, partitioning-independent
+        bound = int(sample_fraction * (1 << 32))
+        emb = emb.where((F.xxhash64("vec_id", F.lit(seed)) % F.lit(1 << 32) + F.lit(1 << 32)) % F.lit(1 << 32) < bound)
+    emb = emb.cache()
+    dim = len(emb.select("v").first()["v"])
+
+    # seeded deterministic init: k lowest-hash vectors
+    init_rows = (
+        emb.select("vec_id", "v", F.xxhash64("vec_id", F.lit(seed)).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in init_rows]
+    if len(centroids) < n_cells:
+        raise ValueError(f"corpus smaller than n_cells={n_cells}")
+
+    for _ in range(n_iters):
+        assigned = emb.withColumn("cell", _nearest_cell(F.col("v"), centroids))
+        # per-(cell, dim) sums: posexplode -> partial-agg map-side, the
+        # shuffle carries pre-combined k*dim rows per partition
+        sums = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]  # empty cells keep position
+        acc: dict[int, list] = {}
+        for r in sums:
+            acc.setdefault(int(r["cell"]), [[0.0] * dim, 0])
+            acc[int(r["cell"])][0][int(r["pos"])] = float(r["s"])
+            acc[int(r["cell"])][1] = int(r["n"])
+        for cell, (s, n) in acc.items():
+            if n > 0:
+                new_c[cell] = [x / n for x in s]
+        centroids = new_c
+    emb.unpersist()
+    return centroids
+
+
+def _nearest_cell(v, centroids: list[list[float]]):
+    """argmin_i ||v - c_i||^2 as a pure JVM expression: maximize
+    2*v.c_i - |c_i|^2 (|v|^2 is constant per row).  A flat scores array
+    + array_position(array_max) keeps the expression tree LINEAR in k -
+    a chained when() running max would duplicate the tree per step
+    (2^k).  array_position returns the FIRST occurrence, so ties break
+    toward the lower cell index."""
+    scores = F.array(
+        *[
+            F.lit(2.0) * _dot(v, F.array(*[F.lit(float(x)) for x in c]))
+            - F.lit(sum(x * x for x in c))
+            for c in centroids
+        ]
+    )
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("long")
+
+
+def _nearest_cells(v, centroids: list[list[float]], nprobe: int):
+    """The nprobe nearest cells, as an array<long> JVM expression
+    (array_sort over (dist, idx) structs - k is small)."""
+    entries = []
+    for i, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.lit(sum(x * x for x in c)) - F.lit(2.0) * _dot(v, lit)
+        entries.append(F.struct(d.alias("d"), F.lit(i).cast("long").alias("i")))
+    ordered = F.array_sort(F.array(*entries))
+    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["i"])
+
+
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 20,
+    n_cells: int = 16,
+    n_iters: int = 8,
+    nprobe: int = 2,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN with a TRAINED k-means coarse quantizer (the scale path
+    the sign-bit `ivf_cosine_topk` documents as its slot-in): corpus
+    vectors assign to their nearest centroid cell, queries probe their
+    `nprobe` nearest cells, and the equi-join on cell bounds the scanned
+    fraction to ~nprobe/n_cells of the corpus.
+
+    Everything stays JVM-side: centroids are literal arrays (broadcast
+    with the plan), assignment/probing is column math, the search is the
+    same cell equi-join + window top-k as the sign-bit variant.  Recall
+    is measured (bench.py / pytest floor), not assumed.
+    """
+    if centroids is None:
+        centroids = train_kmeans_centroids(embeddings, n_cells=n_cells, n_iters=n_iters)
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("c"),
+        _nearest_cell(F.col("v"), centroids).alias("cell"),
+    )
+    queries = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("q"),
+            _nearest_cells(F.col("v"), centroids, nprobe).alias("cells"),
+        )
+        .withColumn("cell", F.explode("cells"))
+        .drop("cells")
+    )
+    sim = _dot(F.col("q"), F.col("c")) / (F.sqrt(_dot(F.col("q"), F.col("q"))) * F.sqrt(_dot(F.col("c"), F.col("c"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        queries.join(corpus, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within coarse cells.
 

@@ -350,7 +350,11 @@ def main():
     print("CROSS-RUN " + json.dumps(cross))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # each (low, high) pair writes its own section; BASELINE.md is then
+    # recomposed from every section so the secondary pair (4 -> 16) never
+    # clobbers the primary (8 -> 32) headline
+    section_path = os.path.join(REPO, "BENCH", f"section_{n_low}_{n_high}.md")
+    with open(section_path, "w") as f:
         f.write(f"""# BENCH/BASELINE - measured engine throughput + scaling
 
 Flagship spatial core (snap pipeline over {n_docs} synthetic interleaved
@@ -426,6 +430,23 @@ Reproduce: `python3 tools/bench_scaling.py {n_low} {n_high} {n_docs}`;
 the driver-facing single-line bench is `python3 bench.py`
 (SPARK_GRAFT_SF_DIR/SPARK_GRAFT_CPUS env).
 """)
+
+    # recompose BASELINE.md: primary 8->32 section first, then any others
+    sections = []
+    primary = os.path.join(REPO, "BENCH", "section_8_32.md")
+    if os.path.exists(primary):
+        sections.append(open(primary).read())
+    for p in sorted(_glob.glob(os.path.join(REPO, "BENCH", "section_*_*.md"))):
+        if p != primary:
+            txt = open(p).read()
+            # demote secondary sections' top heading
+            sections.append(txt.replace(
+                "# BENCH/BASELINE - measured engine throughput + scaling",
+                "## Secondary pair (same harness, same input)",
+                1,
+            ))
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n\n---\n\n".join(sections))
     return 0 if cross["raw_median"] >= 0.8 else 1
 
 
