@@ -118,11 +118,28 @@ def _cpu_jiffies():
     return total, steal
 
 
+# SPARK_GRAFT_PIN=1: confine each width's ENTIRE process tree (JVM, GC/
+# JIT threads, Python workers) to exactly `cpus` host cores via cpuset -
+# the standard single-box emulation of an N-core cluster node.  Unpinned
+# (default), the low width borrows the other idle host cores for JVM
+# services and OS scheduling slack, which DEFLATES measured efficiency;
+# both variants are reported, tagged separately.
+PINNED = os.environ.get("SPARK_GRAFT_PIN", "") == "1"
+
+
+def _pin_prefix(cpus: int) -> list:
+    return ["taskset", "-c", f"0-{cpus - 1}"] if PINNED else []
+
+
 def run_level(cpus: int, n_docs: int, sf_dir: str) -> dict:
     t0, s0 = _cpu_jiffies()
     code = RUNNER.replace("{sf_dir}", sf_dir).format(repo=REPO, cpus=cpus, n_docs=n_docs, sf_dir=sf_dir)
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO, timeout=1800
+        _pin_prefix(cpus) + [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=1800,
     )
     t1, s1 = _cpu_jiffies()
     for line in out.stdout.splitlines():
@@ -175,7 +192,7 @@ def _jvm_probe_secs(threads: int) -> float:
     if not os.path.exists(os.path.join(d, "StreamProbe.class")):
         subprocess.run(["javac", "StreamProbe.java"], cwd=d, check=True, timeout=300)
     out = subprocess.run(
-        ["java", "-cp", d, "StreamProbe", str(threads), "20000000"],
+        _pin_prefix(threads) + ["java", "-cp", d, "StreamProbe", str(threads), "20000000"],
         capture_output=True,
         text=True,
         timeout=600,
@@ -209,11 +226,17 @@ def hw_ceiling(n_low: int, n_high: int) -> dict:
             per = {}
             for procs in (n_low, n_high):
                 init = _hw_setup if label == "kernel" else None
-                with mp.Pool(procs, initializer=init) as pool:
-                    pool.map(unit, [arg] * procs)  # warm (imports, page-in)
-                    t0 = time.time()
-                    pool.map(unit, [arg] * procs)
-                    per[procs] = time.time() - t0
+                if PINNED:
+                    os.sched_setaffinity(0, range(procs))  # pool inherits
+                try:
+                    with mp.Pool(procs, initializer=init) as pool:
+                        pool.map(unit, [arg] * procs)  # warm (imports, page-in)
+                        t0 = time.time()
+                        pool.map(unit, [arg] * procs)
+                        per[procs] = time.time() - t0
+                finally:
+                    if PINNED:
+                        os.sched_setaffinity(0, range(os.cpu_count()))
             ratios.append(per[n_low] / per[n_high])
             pairs.append({str(k): round(v, 2) for k, v in per.items()})
         ratios.sort()
@@ -296,6 +319,7 @@ def main():
         "normalized_vs_weighted": (
             round(eff / weighted_ceiling, 3) if weighted_ceiling else None
         ),
+        "pinned": PINNED,
         "n_docs": n_docs,
         "sf_dir": sf_dir,
         "ts": int(time.time()),
@@ -306,7 +330,7 @@ def main():
     # every harness invocation persists its full report; the headline in
     # BASELINE.md is the MEDIAN ACROSS ALL RUNS of the round (with the
     # spread), never a selected run.
-    round_tag = os.environ.get("SPARK_GRAFT_ROUND_TAG", "r4")
+    round_tag = os.environ.get("SPARK_GRAFT_ROUND_TAG", "r4pin" if PINNED else "r4")
     runs_dir = os.path.join(REPO, "BENCH", "runs")
     os.makedirs(runs_dir, exist_ok=True)
     run_path = os.path.join(
@@ -353,7 +377,22 @@ def main():
     # each (low, high) pair writes its own section; BASELINE.md is then
     # recomposed from every section so the secondary pair (4 -> 16) never
     # clobbers the primary (8 -> 32) headline
-    section_path = os.path.join(REPO, "BENCH", f"section_{n_low}_{n_high}.md")
+    ctl_of = {"snap_pipeline": "kernel", "pip_join": "jvmstream", "knn_join": "jvmstream"}
+    pc_rows = []
+    for q in lo["queries"]:
+        tl, th = lo["queries"][q], hi["queries"].get(q)
+        if not th:
+            continue
+        ctl = ctl_of.get(q, "spin")
+        pc_rows.append(
+            f"| {q} | {tl} | {th} | {(tl / th) / (n_high / n_low):.3f} "
+            f"| {ctl} {hw[ctl]['ceiling']:.3f} |"
+        )
+    per_component_rows = "\n".join(pc_rows)
+
+    section_path = os.path.join(
+        REPO, "BENCH", f"section_{n_low}_{n_high}{'_pinned' if PINNED else ''}.md"
+    )
     with open(section_path, "w") as f:
         f.write(f"""# BENCH/BASELINE - measured engine throughput + scaling
 
@@ -361,6 +400,7 @@ Flagship spatial core (snap pipeline over {n_docs} synthetic interleaved
 documents at zooms [5, 9, 12] + PIP join + kNN over {sf_dir}), single
 host, two parallelism levels as the sandbox stand-in for N vs 4N
 executors (driver instruction; no real cluster available here).
+Cpuset pinning: {"PINNED - each width confined to exactly that many host cores (cluster-node emulation)" if PINNED else "unpinned - the low width can borrow idle host cores for JVM services, which deflates measured efficiency"}.
 
 | parallelism | tiles+join rows | wall secs | rows/sec |
 |---|---|---|---|
@@ -418,6 +458,13 @@ median round - low: {lo.get('steal_pct', 'n/a')}%, high: {hi.get('steal_pct', 'n
 
 Per-query seconds at local[{n_low}]: {json.dumps(lo['queries'])}
 Per-query seconds at local[{n_high}]: {json.dumps(hi['queries'])}
+
+Per-component raw efficiency (this run's median pair) vs the host
+control that matches its traffic profile:
+
+| query | local[{n_low}] s | local[{n_high}] s | raw eff | matching control ceiling |
+|---|---|---|---|---|
+{per_component_rows}
 
 Reference baseline: the Go reference publishes no benchmark numbers and
 its kernel is single-threaded per table (processing/processing.go:22-76);
