@@ -165,3 +165,31 @@ def test_epsg_axis_order_unknown_code_fails_loudly():
     )
     with pytest.raises(ValueError, match="7415"):
         tms.to_xy_point((1.0, 2.0))
+
+
+def test_package_zip_loads_grids_and_epsg_table(tmp_path):
+    """spark-submit --py-files contract: the built zip must serve the
+    grid JSONs and the EPSG table through zipimport (plain __file__-
+    relative open() fails inside a zip - regression r4)."""
+    import subprocess
+    import sys
+
+    sys.path.insert(0, "/root/repo")  # tools importable
+    from tools.package import build
+
+    zip_path = build(str(tmp_path / "texel_spark.zip"))
+    probe = (
+        "import sys; sys.path.insert(0, %r); "
+        "from texel_spark.grid.tms import load_embedded, EPSG_AXES_ARE_LATLON, "
+        "embedded_tile_matrix_set_ids; "
+        "import texel_spark.grid.tms as m; "
+        "assert %r in m.__file__; "
+        "assert len(embedded_tile_matrix_set_ids()) == 14; "
+        "assert len(EPSG_AXES_ARE_LATLON) == 7070; "
+        "print(load_embedded('WebMercatorQuad').id)"
+    ) % (zip_path, "texel_spark.zip")
+    out = subprocess.run(
+        [sys.executable, "-c", probe], capture_output=True, text=True, cwd=str(tmp_path)
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    assert out.stdout.strip() == "WebMercatorQuad"

@@ -34,9 +34,13 @@ BOTTOM_LEFT = "bottomLeft"
 # identically to the reference.  Unknown codes still fail loudly in
 # _is_lat_lon (VERDICT r2 item 4).
 def _load_epsg_axis_order() -> dict[int, bool]:
-    path = os.path.join(os.path.dirname(__file__), "epsg_axis_order.json")
-    with open(path) as f:
-        data = json.load(f)
+    # importlib.resources, not open(__file__-relative): the package must
+    # also load from a zip on sys.path (spark-submit --py-files)
+    from importlib import resources
+
+    data = json.loads(
+        resources.files(__package__).joinpath("epsg_axis_order.json").read_text("utf-8")
+    )
     table = {int(c): True for c in data["axes_are_latlon"]}
     table.update({int(c): False for c in data["axes_are_lonlat"]})
     return table
@@ -341,14 +345,24 @@ def deviation_stats(tms: TileMatrixSet, deepest_tm_id: int) -> tuple[float, floa
 
 # -- OGC TMS 2.0 JSON loading (tms20.go:42-223) -----------------------------
 
-_TMS_DIR = os.path.join(os.path.dirname(__file__), "tilematrixsets")
 _EMBEDDED_CACHE: dict[str, TileMatrixSet] = {}
+
+
+def _tms_resource_dir():
+    """The tilematrixsets data directory as an importlib traversable -
+    resolves from the filesystem AND from a zip on sys.path
+    (spark-submit --py-files dist/texel_spark.zip)."""
+    from importlib import resources
+
+    return resources.files(__package__).joinpath("tilematrixsets")
 
 
 def embedded_tile_matrix_set_ids() -> list[str]:
     """IDs of all embedded OGC registry grids (14 shipped)."""
     return sorted(
-        f[: -len(".json")] for f in os.listdir(_TMS_DIR) if f.endswith(".json")
+        e.name[: -len(".json")]
+        for e in _tms_resource_dir().iterdir()
+        if e.name.endswith(".json")
     )
 
 
@@ -357,8 +371,8 @@ def load_embedded(tms_id: str) -> TileMatrixSet:
     cached = _EMBEDDED_CACHE.get(tms_id)
     if cached is not None:
         return cached
-    path = os.path.join(_TMS_DIR, tms_id + ".json")
-    tms = load_json_tile_matrix_set(path)
+    text = _tms_resource_dir().joinpath(tms_id + ".json").read_text("utf-8")
+    tms = parse_tile_matrix_set(json.loads(text))
     _EMBEDDED_CACHE[tms_id] = tms
     return tms
 

@@ -23,7 +23,10 @@ def build(out_path: str | None = None) -> str:
             if "__pycache__" in dirpath:
                 continue
             for fn in filenames:
-                if not fn.endswith(".py"):
+                # data resources ship with the code: the 14 OGC TMS grid
+                # JSONs and the EPSG axis-order registry load relative to
+                # __file__, which works from a zip on sys.path
+                if not fn.endswith((".py", ".json")):
                     continue
                 full = os.path.join(dirpath, fn)
                 zf.write(full, os.path.relpath(full, REPO))
