@@ -478,8 +478,12 @@ the driver-facing single-line bench is `python3 bench.py`
 (SPARK_GRAFT_SF_DIR/SPARK_GRAFT_CPUS env).
 """)
 
-    # recompose BASELINE.md: primary 8->32 section first, then any others
+    # recompose BASELINE.md: optional hand-written preamble, then the
+    # primary 8->32 section, then any others
     sections = []
+    preamble = os.path.join(REPO, "BENCH", "PREAMBLE.md")
+    if os.path.exists(preamble):
+        sections.append(open(preamble).read())
     primary = os.path.join(REPO, "BENCH", "section_8_32.md")
     if os.path.exists(primary):
         sections.append(open(primary).read())
