@@ -62,6 +62,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rd = load_embedded("NetherlandsRDNewQuad")
         return snap_tile_fanout_df(_synth_docs(spark, 400), rd, [5, 9, 12])
 
+    def snap_tile_fanout_webmercator(spark, sf_dir):
+        # the WebMercatorQuad pipeline's JVM fan-out half, hash-oracled
+        # like the RD one (VERDICT r4 item 5)
+        from texel_spark.kernel.snap import SnapConfig
+        from texel_spark.operators.snap_tiles import snap_tile_fanout_df
+
+        wm = load_embedded("WebMercatorQuad")
+        return snap_tile_fanout_df(
+            _synth_docs(spark, 200), wm, [11, 15], SnapConfig(ignore_outside_grid=True), tag="wm"
+        )
+
+    def snap_tile_fanout_nztm(spark, sf_dir):
+        # the NZTM2000Quad (swapped-axes) pipeline's JVM fan-out half
+        from texel_spark.operators.snap_tiles import snap_tile_fanout_df
+        from texel_spark.sources.documents import synth_documents
+
+        nz = load_embedded("NZTM2000Quad")
+        (bl, tr) = nz.matrix_bounding_box(0)
+        docs = synth_documents(spark, 200, partitions=8, extent=(bl[0], bl[1], tr[0], tr[1]))
+        return snap_tile_fanout_df(docs, nz, [4, 8], tag="nz")
+
     def snap_pipeline_webmercator(spark, sf_dir):
         # same documents, WebMercatorQuad grid (EPSG:3857): RD-extent
         # coordinates are valid WebMercator metres, so the whole pipeline
@@ -85,8 +106,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return snap_pipeline_df(docs, nz, [4, 8])
 
     def _hilbert_tile_assign(spark, sf_dir):
-        # pluggable cell keyer demo: same tile grid, Hilbert key instead
-        # of Morton (better range locality); rows-only (no SQL analog)
+        # pluggable cell keyer: same tile grid, Hilbert key instead of
+        # Morton (better range locality); oracled by the unrolled
+        # bit-loop SQL (sq.hilbert_tile_assign_sql) + published-value
+        # goldens in tests/test_cellkeys.py
         import pyspark.sql.functions as F
 
         from texel_spark.functions.udfs import hilbert_udf
@@ -123,6 +146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship kernel pipeline (oracle = reference golden tests)
         "snap_pipeline": snap_pipeline,
         "snap_tile_fanout": snap_tile_fanout,
+        "snap_tile_fanout_webmercator": snap_tile_fanout_webmercator,
+        "snap_tile_fanout_nztm": snap_tile_fanout_nztm,
         "snap_pipeline_webmercator": snap_pipeline_webmercator,
         "snap_pipeline_nztm": snap_pipeline_nztm,
         "span_roundtrip": span_roundtrip,
@@ -171,6 +196,20 @@ def _snap_tile_fanout_oracle() -> str:
     return tile_fanout_oracle_sql(load_embedded("NetherlandsRDNewQuad"), [5, 9, 12])
 
 
+def _snap_tile_fanout_oracle_wm() -> str:
+    from texel_spark.grid.tms import load_embedded
+    from texel_spark.operators.snap_tiles import tile_fanout_oracle_sql
+
+    return tile_fanout_oracle_sql(load_embedded("WebMercatorQuad"), [11, 15], tag="wm")
+
+
+def _snap_tile_fanout_oracle_nz() -> str:
+    from texel_spark.grid.tms import load_embedded
+    from texel_spark.operators.snap_tiles import tile_fanout_oracle_sql
+
+    return tile_fanout_oracle_sql(load_embedded("NZTM2000Quad"), [4, 8], tag="nz")
+
+
 def oracle_sql() -> dict[str, str]:
     from texel_spark.operators import dedup, events, text
     from texel_spark.operators import spatial_queries as sq
@@ -178,7 +217,10 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "tile_assign": sq.tile_assign_sql(),
+        "hilbert_tile_assign": sq.hilbert_tile_assign_sql(),
         "snap_tile_fanout": _snap_tile_fanout_oracle(),
+        "snap_tile_fanout_webmercator": _snap_tile_fanout_oracle_wm(),
+        "snap_tile_fanout_nztm": _snap_tile_fanout_oracle_nz(),
         "tile_extent_agg": sq.tile_extent_agg_sql(),
         "pip_join": sq.pip_join_sql(),
         "knn_join": sq.knn_join_sql(),
@@ -197,8 +239,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": embedding_near_dup_sql(threshold=0.3),
         "hourly_rollup": events.HOURLY_ROLLUP_SQL,
         "sessionize": events.sessionize_sql(),
-        # snap_pipeline / span_roundtrip / minhash_lsh / simhash_buckets /
-        # doc_fingerprints / ivf_cosine_topk / ivf_kmeans_topk /
-        # embedding_near_dup / media_* are non-SQL-expressible (custom
-        # kernels / iterative training) -> rows-only.
+        # snap_pipeline* / span_roundtrip / ivf_cosine_topk /
+        # ivf_kmeans_topk / media_* are non-SQL-expressible (custom
+        # kernels / iterative training / ANN) -> rows-only; each
+        # pipeline's JVM fan-out half IS oracled via its
+        # snap_tile_fanout* twin above.
     }

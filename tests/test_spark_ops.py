@@ -575,6 +575,27 @@ def test_media_features_unknown_kind_raises(spark):
         extract_media_features(m).collect()
 
 
+def test_media_features_short_payload_raises(spark):
+    """ADVICE r4: payloads shorter than 2 bytes must raise (the scalar
+    formula reads payload[1] for height), not emit the zero pad as 64."""
+    import pandas as pd
+
+    from texel_spark.operators.multimodal import extract_media_features
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a"],
+            "span_idx": [0],
+            "media_ref": ["img://a"],
+            "media_kind": ["img"],
+            "payload": [b"\x7f"],
+            "n_bytes": [1],
+        }
+    )
+    with pytest.raises(Exception, match="shorter than 2 bytes"):
+        extract_media_features(spark.createDataFrame(pdf)).collect()
+
+
 def test_sample_frames_degenerate_payload_seed(spark):
     """ADVICE r3: 1-byte payload seeds int.from_bytes(raw[:2]) == raw[0]
     (not 0); empty payload seeds 0."""

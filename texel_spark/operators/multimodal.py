@@ -96,8 +96,11 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             # (PIL/ffmpeg, absent in this container) slots in where the
             # matrix is built, and the columnar emit stays as-is.
             lens = np.fromiter((len(r) for r in raws), dtype=np.int64, count=len(raws))
-            if lens.min() == 0:
-                raise ValueError("empty media payload")
+            # <2 bytes: the documented scalar formula reads payload[0]
+            # (width) and payload[1] (height); a 1-byte payload must not
+            # silently report the zero pad as height 64 (ADVICE r4)
+            if len(raws) and lens.min() < 2:
+                raise ValueError("media payload shorter than 2 bytes (width/height seed)")
             head = b"".join(r[:16].ljust(16, b"\x00") for r in raws)
             mat = np.frombuffer(head, dtype=np.uint8).reshape(len(raws), 16)
             emb = mat.astype(np.float32) / np.float32(255.0)

@@ -166,11 +166,15 @@ def train_kmeans_centroids(
     pass sample_fraction to train on a deterministic hash-sample - the
     standard IVF recipe (quantizer quality needs only a sample).
 
-    Deterministic: init picks the k vectors with the smallest
-    xxhash64(vec_id, seed) (a seeded distributed reservoir, stable
-    across partitionings); ties in assignment break toward the lower
-    cell index, and float aggregation is summed in a fixed (cell, dim)
-    grouping.  Empty cells keep their previous centroid.
+    Deterministic up to float summation order: init picks the k vectors
+    with the smallest xxhash64(vec_id, seed) (a seeded distributed
+    reservoir, stable across partitionings); ties in assignment break
+    toward the lower cell index.  The per-cell sums are computed by a
+    shuffled groupBy, so their float addition order - and therefore the
+    low bits of the centroids - can vary with partitioning; vectors
+    whose two nearest centroids are within that rounding distance may
+    flip cells between otherwise-identical runs.  Empty cells keep
+    their previous centroid.
     """
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
     if sample_fraction is not None:
@@ -178,7 +182,10 @@ def train_kmeans_centroids(
         bound = int(sample_fraction * (1 << 32))
         emb = emb.where((F.xxhash64("vec_id", F.lit(seed)) % F.lit(1 << 32) + F.lit(1 << 32)) % F.lit(1 << 32) < bound)
     emb = emb.cache()
-    dim = len(emb.select("v").first()["v"])
+    first = emb.select("v").first()
+    if first is None:
+        raise ValueError(f"corpus is empty (after sampling): cannot train n_cells={n_cells} centroids")
+    dim = len(first["v"])
 
     # seeded deterministic init: k lowest-hash vectors
     init_rows = (

@@ -621,17 +621,32 @@ def snap_pipeline_df(
 # driver invokes in the same process - always agree on it, regardless of
 # call order, while separate processes never share a file.  Cleaned up
 # at interpreter exit.
-BBOX_ORACLE_DIR = f"/tmp/texel_spark_oracle_bbox_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+#
+# Cross-process harnesses (ADVICE r4): a harness that runs queries() and
+# evaluates oracle_sql() in DIFFERENT processes must export
+# TEXEL_SPARK_ORACLE_SCRATCH=<same dir> to both - the env var overrides
+# the per-process path, and a caller-provided dir is the caller's to
+# clean up (no atexit registration).
+BBOX_ORACLE_DIR = os.environ.get("TEXEL_SPARK_ORACLE_SCRATCH") or (
+    f"/tmp/texel_spark_oracle_bbox_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+)
 
 
 def _cleanup_bbox_oracle_dir() -> None:
     shutil.rmtree(BBOX_ORACLE_DIR, ignore_errors=True)
 
 
-atexit.register(_cleanup_bbox_oracle_dir)
+if "TEXEL_SPARK_ORACLE_SCRATCH" not in os.environ:
+    atexit.register(_cleanup_bbox_oracle_dir)
 
 
-def snap_tile_fanout_df(docs: DataFrame, tms: TileMatrixSet, tm_ids: list[int]) -> DataFrame:
+def snap_tile_fanout_df(
+    docs: DataFrame,
+    tms: TileMatrixSet,
+    tm_ids: list[int],
+    config: SnapConfig | None = None,
+    tag: str = "rd",
+) -> DataFrame:
     """The tile-assignment half of the pipeline, restructured so a DuckDB
     oracle can verify it hash-exactly: the kernel's snapped bboxes (the
     deterministic, golden-pinned half) are materialized to parquet, and
@@ -643,16 +658,19 @@ def snap_tile_fanout_df(docs: DataFrame, tms: TileMatrixSet, tm_ids: list[int]) 
 
     The write is EAGER (inside this call) so the oracle - which the
     driver runs after invoking the queries() callable - always reads the
-    bboxes of this run, never a stale file.
+    bboxes of this run, never a stale file.  ``tag`` names a per-grid
+    subdirectory so several fanout queries (RD / WebMercator / NZTM, one
+    oracle each) never clobber each other's bboxes within a run.
     """
     spark = docs.sparkSession
-    snapped = snap_documents(geometry_spans(docs), tms, tm_ids)
+    scratch = os.path.join(BBOX_ORACLE_DIR, tag)
+    snapped = snap_documents(geometry_spans(docs), tms, tm_ids, config)
     (
         snapped.select("doc_id", "span_idx", "zoom", "minx", "miny", "maxx", "maxy")
         .write.mode("overwrite")
-        .parquet(BBOX_ORACLE_DIR)
+        .parquet(scratch)
     )
-    bbox = spark.read.parquet(BBOX_ORACLE_DIR).withColumn("geom_kind", F.lit("g")).withColumn("n_polys", F.lit(1))
+    bbox = spark.read.parquet(scratch).withColumn("geom_kind", F.lit("g")).withColumn("n_polys", F.lit(1))
     return assign_tiles(bbox, tms, tm_ids).select("doc_id", "span_idx", "zoom", "tx", "ty", "tile_id")
 
 
@@ -671,10 +689,11 @@ def _spread_sql(col: str) -> str:
     return expr
 
 
-def tile_fanout_oracle_sql(tms: TileMatrixSet, tm_ids: list[int]) -> str:
+def tile_fanout_oracle_sql(tms: TileMatrixSet, tm_ids: list[int], tag: str = "rd") -> str:
     """DuckDB twin of snap_tile_fanout_df's JVM half: identical grid
     constants (embedded as full-precision literals), identical
-    floor/clamp/explode/Morton math, over the same bbox parquet."""
+    floor/clamp/explode/Morton math, over the same bbox parquet
+    (``tag`` = the per-grid scratch subdirectory the fanout wrote)."""
     vals = []
     for z in tm_ids:
         tm = tms.tile_matrices[z]
@@ -689,7 +708,7 @@ def tile_fanout_oracle_sql(tms: TileMatrixSet, tm_ids: list[int]) -> str:
     z = f"({_spread_sql('tx')}) | (({_spread_sql('ty')}) << 1)"
     return f"""
 WITH params(zoom, ox, oy, tsx, tsy, mw, mh, top_left) AS (VALUES {", ".join(vals)}),
-b AS (SELECT * FROM read_parquet('{BBOX_ORACLE_DIR}/*.parquet')),
+b AS (SELECT * FROM read_parquet('{os.path.join(BBOX_ORACLE_DIR, tag)}/*.parquet')),
 j AS (SELECT b.doc_id, b.span_idx, b.zoom, b.minx, b.miny, b.maxx, b.maxy,
              p.ox, p.oy, p.tsx, p.tsy, p.mw, p.mh, p.top_left
       FROM b JOIN params p ON b.zoom = p.zoom),

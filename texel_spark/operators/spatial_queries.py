@@ -139,6 +139,55 @@ FROM pts GROUP BY 1, 2, 3
 """
 
 
+def hilbert_sql_expr_ctes(zoom: int, base_cte: str, carry_cols: str) -> str:
+    """DuckDB CTE chain computing the Hilbert d-index of (tx, ty) on a
+    2^zoom grid - the standard bit-level xy->d loop (Wikipedia /
+    Hamilton), UNROLLED one CTE per bit so the oracle performs the exact
+    integer math of functions.cellkeys.hilbert_key (VERDICT r4 item 4).
+
+    The flip uses ``s-1-x`` (quadrant-local) like the numpy kernel;
+    intermediate values can go negative, which is safe because both
+    engines use two's-complement BIGINTs and later iterations only read
+    bits below s (verified against the published n-1-x variant on full
+    grids in tests/test_cellkeys.py).  Produces CTEs ``h0..h{zoom}``;
+    the final one carries ``{carry_cols}`` plus ``hd`` (the d-index).
+    """
+    ctes = [f"h0 AS (SELECT {carry_cols}, tx AS hx, ty AS hy, CAST(0 AS BIGINT) AS hd FROM {base_cte})"]
+    for i in range(zoom):
+        s = 1 << (zoom - 1 - i)
+        ctes.append(
+            f"""h{i + 1} AS (
+  SELECT {carry_cols},
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s - 1} - hy ELSE hy END) ELSE hx END AS hx,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s - 1} - hx ELSE hx END) ELSE hy END AS hy,
+         hd + {s * s} * xor(3 * rx, ry) AS hd
+  FROM (SELECT *,
+               CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry
+        FROM h{i}))"""
+        )
+    return ",\n".join(ctes)
+
+
+def hilbert_tile_assign_sql(zoom: int = 8) -> str:
+    """Oracle for the Hilbert-keyed tile assignment: tile_assign_sql's
+    math, then the unrolled Hilbert chain on (tx, ty)."""
+    ts = tile_size(zoom)
+    chain = hilbert_sql_expr_ctes(zoom, "base", "zoom, tx, ty, n_points")
+    return f"""
+WITH pts AS ({POINTS_FROM_EVENTS_SQL}),
+base AS (
+  SELECT {zoom} AS zoom,
+         CAST(FLOOR((px - ({RD_ORIGIN_X})) / {ts!r}) AS BIGINT) AS tx,
+         CAST(FLOOR(({RD_ORIGIN_Y} - py) / {ts!r}) AS BIGINT) AS ty,
+         COUNT(*) AS n_points
+  FROM pts GROUP BY 1, 2, 3
+),
+{chain}
+SELECT zoom, tx, ty, n_points, hd AS cell_id FROM h{zoom}
+"""
+
+
 def tile_extent_agg(events: DataFrame, zoom: int = 5) -> DataFrame:
     """S7 running-extent aggregate per tile (gpkg.go:254-270 as a
     min/max groupBy; partial aggregation is map-side for free)."""

@@ -189,7 +189,11 @@ def _jvm_probe_secs(threads: int) -> float:
     """Per-unit wall seconds of the no-Spark JVM stream+probe control
     (tools/jvmcontrol/StreamProbe.java) at the given thread count."""
     d = os.path.join(REPO, "tools", "jvmcontrol")
-    if not os.path.exists(os.path.join(d, "StreamProbe.class")):
+    cls = os.path.join(d, "StreamProbe.class")
+    src = os.path.join(d, "StreamProbe.java")
+    # recompile on stale .class (ADVICE r4): edits to the Java control
+    # must not silently benchmark the old bytecode
+    if not os.path.exists(cls) or os.path.getmtime(cls) < os.path.getmtime(src):
         subprocess.run(["javac", "StreamProbe.java"], cwd=d, check=True, timeout=300)
     out = subprocess.run(
         _pin_prefix(threads) + ["java", "-cp", d, "StreamProbe", str(threads), "20000000"],
@@ -222,6 +226,7 @@ def hw_ceiling(n_low: int, n_high: int) -> dict:
         # median per-pair ratio.
         ratios = []
         pairs = []
+        orig_mask = os.sched_getaffinity(0)
         for _ in range(3):
             per = {}
             for procs in (n_low, n_high):
@@ -236,7 +241,9 @@ def hw_ceiling(n_low: int, n_high: int) -> dict:
                         per[procs] = time.time() - t0
                 finally:
                     if PINNED:
-                        os.sched_setaffinity(0, range(os.cpu_count()))
+                        # restore the ORIGINAL mask, not range(cpu_count())
+                        # (ADVICE r4: the process may itself be confined)
+                        os.sched_setaffinity(0, orig_mask)
             ratios.append(per[n_low] / per[n_high])
             pairs.append({str(k): round(v, 2) for k, v in per.items()})
         ratios.sort()
