@@ -110,6 +110,36 @@ def main() -> None:
     ann_recall_kmeans = round(len(exact_cl & km_cl) / max(1, len(exact_cl)), 3)
     clustered.unpersist()
 
+    # realistic-cell-count IVF (VERDICT r4 item 7): k=1024 cells over a
+    # larger clustered corpus, broadcast-matrix assignment path.  Tracks
+    # cost + recall at the coarse-quantizer size a 100 TB corpus needs
+    # (sandbox-sized corpus; scale with SPARK_GRAFT_ANN_N).
+    ann_n = int(os.environ.get("SPARK_GRAFT_ANN_N", "50000"))
+    ann_k = int(os.environ.get("SPARK_GRAFT_ANN_K", "1024"))
+    big = similarity.synth_clustered_embeddings(
+        spark, n_vectors=ann_n, dim=64, n_clusters=max(16, ann_k // 2), seed=13
+    ).repartition(cpus).cache()
+    big.count()
+    t0 = time.perf_counter()
+    cents = similarity.train_kmeans_centroids(big, n_cells=ann_k, n_iters=3, sample_fraction=0.3)
+    largek_train_sec = round(time.perf_counter() - t0, 3)
+    exact_big = {(r["query_id"], r["neighbor_id"]) for r in similarity.cosine_topk(big).collect()}
+    t0 = time.perf_counter()
+    km_big = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_kmeans_topk(big, centroids=cents, nprobe=16).collect()
+    }
+    largek_search_sec = round(time.perf_counter() - t0, 3)
+    ann_largek = {
+        "n_vectors": ann_n,
+        "n_cells": ann_k,
+        "nprobe": 16,
+        "train_sec": largek_train_sec,
+        "search_sec": largek_search_sec,
+        "recall_at_5": round(len(exact_big & km_big) / max(1, len(exact_big)), 3),
+    }
+    big.unpersist()
+
     headline = ["snap_pipeline", "pip_join", "knn_join"]
     headline_rows = sum(rows[q] for q in headline)
     headline_secs = sum(timings[q] for q in headline)
@@ -152,6 +182,7 @@ def main() -> None:
                 "ann_recall_at_5": ann_recall,
                 "ann_recall_at_5_clustered": ann_recall_clustered,
                 "ann_recall_at_5_kmeans_clustered": ann_recall_kmeans,
+                "ann_largek": ann_largek,
                 "regressions": regressions,
             }
         )
