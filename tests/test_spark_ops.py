@@ -734,3 +734,35 @@ def test_kmeans_corpus_smaller_than_cells_fails_loudly(spark):
     emb = synth_clustered_embeddings(spark, n_vectors=5, n_clusters=5)
     with pytest.raises(ValueError, match="n_cells"):
         train_kmeans_centroids(emb, n_cells=16, n_iters=1)
+
+
+def test_oracle_scratch_env_override_cross_process():
+    """ADVICE r4 (medium): harnesses that evaluate oracle_sql() in a
+    DIFFERENT process from queries() share the bbox scratch dir via
+    TEXEL_SPARK_ORACLE_SCRATCH; without it the path is per-process and
+    cleaned at exit."""
+    import subprocess
+    import sys
+
+    code = (
+        "from texel_spark.operators.snap_tiles import BBOX_ORACLE_DIR;"
+        "print(BBOX_ORACLE_DIR)"
+    )
+    import os
+
+    env = dict(os.environ, TEXEL_SPARK_ORACLE_SCRATCH="/tmp/texel_shared_oracle_x")
+    outs = [
+        subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True, text=True, check=True
+        ).stdout.strip()
+        for _ in range(2)
+    ]
+    assert outs[0] == outs[1] == "/tmp/texel_shared_oracle_x"
+    env.pop("TEXEL_SPARK_ORACLE_SCRATCH")
+    a, b = (
+        subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True, text=True, check=True
+        ).stdout.strip()
+        for _ in range(2)
+    )
+    assert a != b and a.startswith("/tmp/texel_spark_oracle_bbox_")

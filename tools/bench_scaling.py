@@ -337,7 +337,7 @@ def main():
     # every harness invocation persists its full report; the headline in
     # BASELINE.md is the MEDIAN ACROSS ALL RUNS of the round (with the
     # spread), never a selected run.
-    round_tag = os.environ.get("SPARK_GRAFT_ROUND_TAG", "r4pin" if PINNED else "r4")
+    round_tag = os.environ.get("SPARK_GRAFT_ROUND_TAG", "r5pin" if PINNED else "r5")
     runs_dir = os.path.join(REPO, "BENCH", "runs")
     os.makedirs(runs_dir, exist_ok=True)
     run_path = os.path.join(
@@ -486,16 +486,19 @@ the driver-facing single-line bench is `python3 bench.py`
 """)
 
     # recompose BASELINE.md: optional hand-written preamble, then the
-    # primary 8->32 section, then any others
+    # primary section - the PINNED 8->32 pair (the defensible
+    # cluster-node emulation, VERDICT r4 item 1) - then any others
     sections = []
     preamble = os.path.join(REPO, "BENCH", "PREAMBLE.md")
     if os.path.exists(preamble):
         sections.append(open(preamble).read())
-    primary = os.path.join(REPO, "BENCH", "section_8_32.md")
+    primary = os.path.join(REPO, "BENCH", "section_8_32_pinned.md")
+    if not os.path.exists(primary):
+        primary = os.path.join(REPO, "BENCH", "section_8_32.md")
     if os.path.exists(primary):
         sections.append(open(primary).read())
     for p in sorted(_glob.glob(os.path.join(REPO, "BENCH", "section_*_*.md"))):
-        if p != primary:
+        if p != primary and not p.endswith("PREAMBLE.md"):
             txt = open(p).read()
             # demote secondary sections' top heading
             sections.append(txt.replace(
