@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_buckets": lambda s, d: dedup.simhash_buckets(_t(s, d, "documents")),
         # text analysis
         "text_stats": lambda s, d: text.text_stats(_t(s, d, "documents")),
+        "token_counts": lambda s, d: text.token_counts(_t(s, d, "documents")),
         "lang_stopword_score": lambda s, d: text.lang_stopword_score(_t(s, d, "documents")),
         "doc_fingerprints": lambda s, d: text.doc_fingerprints(_t(s, d, "documents")),
         # similarity search
@@ -233,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": dedup.minhash_lsh_sql(),
         "simhash_buckets": dedup.simhash_buckets_sql(),
         "text_stats": text.text_stats_sql(),
+        "token_counts": text.token_counts_sql(),
         "lang_stopword_score": text.lang_stopword_score_sql(),
         "doc_fingerprints": text.doc_fingerprints_sql(),
         "cosine_topk": cosine_topk_sql(),

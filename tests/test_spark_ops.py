@@ -766,3 +766,23 @@ def test_oracle_scratch_env_override_cross_process():
         for _ in range(2)
     )
     assert a != b and a.startswith("/tmp/texel_spark_oracle_bbox_")
+
+
+def test_token_counts_known_strings(spark):
+    """BPE-ish regex segmentation on hand-counted strings: punctuation
+    and digit runs count as their own tokens, contractions split."""
+    from texel_spark.operators.text import token_counts
+
+    pdf = spark.createDataFrame(
+        [("a", "Hello world, it's 2024!"), ("b", "one  two"), ("c", "...")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in token_counts(pdf).collect()}
+    # a: Hello | world | , | it | 's | 2024 | ! -> 7 bpe; ws split -> 4
+    assert got["a"]["n_bpe_tokens"] == 7 and got["a"]["n_ws_tokens"] == 4
+    # b: one | (space)two | residual-space -> "one", " two" and the
+    # double space: " ?[A-Za-z]+" eats one space, "\s+" the other
+    assert got["b"]["n_bpe_tokens"] == 3 and got["b"]["n_ws_tokens"] == 3
+    # c: one punctuation run
+    assert got["c"]["n_bpe_tokens"] == 1
+    assert got["c"]["bytes_per_bpe_token_x100"] == 300

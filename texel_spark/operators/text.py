@@ -52,6 +52,53 @@ FROM documents
 """
 
 
+# BPE-ish pre-tokenizer regex (GPT-2 style, simplified to the lookaround
+# free subset that Java regex (Spark) and RE2 (DuckDB) segment
+# identically): contractions, space-prefixed letter runs, digit runs,
+# punctuation runs, then residual whitespace.  Counting these matches
+# approximates subword token counts far better than whitespace splitting
+# (punctuation and digits tokenize separately, as real BPE does).
+BPE_TOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counts per document.
+
+    Both counts are pure JVM expressions (regexp_extract_all inside
+    whole-stage codegen - no Python workers); `bytes_per_bpe_token_x100`
+    is the integer-scaled compression diagnostic training-data pipelines
+    filter on (too-low = boilerplate/code, too-high = non-text).
+    """
+    ws = F.size(F.split(F.col("text"), " "))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0))
+    n_chars = F.length("text")
+    return documents.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        F.floor(F.lit(100) * n_chars / F.greatest(bpe, F.lit(1)))
+        .cast("long")
+        .alias("bytes_per_bpe_token_x100"),
+    )
+
+
+def token_counts_sql() -> str:
+    # RE2 needs the same pattern; DuckDB string literal escaping: '' for
+    # quotes.  \s is supported by RE2 and Java identically here.
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(FLOOR(100 * length(text)
+                  / GREATEST(len(regexp_extract_all(text, '{pat}')), 1)) AS BIGINT)
+           AS bytes_per_bpe_token_x100
+FROM documents
+"""
+
+
 def lang_stopword_score(documents: DataFrame) -> DataFrame:
     """Heuristic language-ID signal: per claimed lang, aggregate English
     stopword incidence (the n-gram-free version of langid scoring)."""
