@@ -88,6 +88,7 @@ def main() -> None:
     run("ngram_jaccard", dedup.ngram_jaccard_pairs(t("documents")))
     run("minhash_lsh", dedup.minhash_lsh_candidates(t("documents")))
     run("text_stats", text.text_stats(t("documents")))
+    run("token_counts", text.token_counts(t("documents")))
     run("doc_fingerprints", text.doc_fingerprints(t("documents")))
     run("cosine_topk", similarity.cosine_topk(t("embeddings")))
     run("ivf_cosine_topk", similarity.ivf_cosine_topk(t("embeddings")))
