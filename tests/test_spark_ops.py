@@ -716,13 +716,16 @@ def test_kmeans_large_k_plans_fast_and_runs(spark):
     df._jdf.queryExecution().analyzed()  # force analysis
     t_plan = time.time() - t0
     assert t_plan < 5.0, f"k=1024 analysis took {t_plan:.1f}s (literal-path blowup?)"
+    # the broadcast path must actually be in use (Arrow python eval, not
+    # 1024*64 literals), and each side's UDF must appear exactly ONCE:
+    # Catalyst's inferred isnotnull/size filters would otherwise push
+    # below the projection and run the matmul twice per row (guarded by
+    # asNondeterministic on the UDFs).  Captured pre-execution: the
+    # post-AQE string repeats the plan under Final/Initial headings.
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 2, plan
     rows = df.collect()
     assert len(rows) > 0
-    # the broadcast path must actually be in use (Arrow python eval, not
-    # 1024*64 literals)
-    assert "pythonUDF" in df._jdf.queryExecution().executedPlan().toString() or "ArrowEvalPython" in str(
-        df._jdf.queryExecution().executedPlan()
-    )
 
 
 def test_kmeans_corpus_smaller_than_cells_fails_loudly(spark):

@@ -286,7 +286,11 @@ def _nearest_cell_bc(v, bc):
         scores = 2.0 * (mat @ c.T) - (c * c).sum(axis=1)  # (n, k)
         return pd.Series(scores.argmax(axis=1).astype(np.int64))
 
-    return assign(v)
+    # nondeterministic stops Catalyst pushing inferred join-key filters
+    # (isnotnull(cell)) BELOW the projection, which would duplicate the
+    # ArrowEvalPython node and run the matmul twice per row (measured 2x
+    # on the k=1024 plan)
+    return assign.asNondeterministic()(v)
 
 
 def _nearest_cells_bc(v, bc, nprobe: int):
@@ -306,7 +310,9 @@ def _nearest_cells_bc(v, bc, nprobe: int):
         idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(idx.astype(np.int64)))
 
-    return probes(v)
+    # same duplication guard as _nearest_cell_bc: the explode's inferred
+    # size(cells)>0 filter would otherwise re-evaluate the UDF
+    return probes.asNondeterministic()(v)
 
 
 def _assign_cell(df: DataFrame, v, centroids: list[list[float]]):
