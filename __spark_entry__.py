@@ -42,7 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from texel_spark.grid.tms import load_embedded
-    from texel_spark.operators import dedup, events, multimodal, similarity, text
+    from texel_spark.operators import curation, dedup, events, multimodal, similarity, text
     from texel_spark.operators import spatial_queries as sq
     from texel_spark.operators.snap_tiles import snap_pipeline_df
     from texel_spark.sources.documents import (
@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_t(s, d, "documents")),
         "minhash_lsh": lambda s, d: dedup.minhash_lsh_candidates(_t(s, d, "documents")),
         "simhash_buckets": lambda s, d: dedup.simhash_buckets(_t(s, d, "documents")),
+        "near_dup_components": lambda s, d: dedup.near_dup_components(_t(s, d, "documents")),
+        "hash_split": lambda s, d: curation.hash_split(_t(s, d, "documents")),
+        "per_source_cap": lambda s, d: curation.per_source_cap(_t(s, d, "documents"), cap=10),
         # text analysis
         "text_stats": lambda s, d: text.text_stats(_t(s, d, "documents")),
         "token_counts": lambda s, d: text.token_counts(_t(s, d, "documents")),
@@ -171,6 +174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the operator default stays 0.95 (real near-dup), pinned by the
         # planted-pair pytest
         "embedding_near_dup": lambda s, d: similarity.embedding_near_dup(
+            _t(s, d, "embeddings"), threshold=0.3
+        ),
+        "embedding_dup_components": lambda s, d: similarity.embedding_dup_components(
             _t(s, d, "embeddings"), threshold=0.3
         ),
         # events / windows
@@ -212,9 +218,13 @@ def _snap_tile_fanout_oracle_nz() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from texel_spark.operators import dedup, events, text
+    from texel_spark.operators import curation, dedup, events, text
     from texel_spark.operators import spatial_queries as sq
-    from texel_spark.operators.similarity import cosine_topk_sql, embedding_near_dup_sql
+    from texel_spark.operators.similarity import (
+        cosine_topk_sql,
+        embedding_dup_components_sql,
+        embedding_near_dup_sql,
+    )
 
     return {
         "tile_assign": sq.tile_assign_sql(),
@@ -233,12 +243,16 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "minhash_lsh": dedup.minhash_lsh_sql(),
         "simhash_buckets": dedup.simhash_buckets_sql(),
+        "near_dup_components": dedup.near_dup_components_sql(),
+        "hash_split": curation.hash_split_sql(),
+        "per_source_cap": curation.per_source_cap_sql(cap=10),
         "text_stats": text.text_stats_sql(),
         "token_counts": text.token_counts_sql(),
         "lang_stopword_score": text.lang_stopword_score_sql(),
         "doc_fingerprints": text.doc_fingerprints_sql(),
         "cosine_topk": cosine_topk_sql(),
         "embedding_near_dup": embedding_near_dup_sql(threshold=0.3),
+        "embedding_dup_components": embedding_dup_components_sql(threshold=0.3),
         "hourly_rollup": events.HOURLY_ROLLUP_SQL,
         "sessionize": events.sessionize_sql(),
         # snap_pipeline* / span_roundtrip / ivf_cosine_topk /

@@ -37,7 +37,7 @@ def main() -> None:
 
     from texel_spark.grid.tms import load_embedded
     from texel_spark.kernel.snap import SnapConfig
-    from texel_spark.operators import dedup, events, similarity, text
+    from texel_spark.operators import curation, dedup, events, similarity, text
     from texel_spark.operators import spatial_queries as sq
     from texel_spark.operators.snap_tiles import snap_pipeline_df
     from texel_spark.session import get_spark
@@ -87,7 +87,10 @@ def main() -> None:
     run("dedup_exact", dedup.exact_duplicates(t("documents")))
     run("ngram_jaccard", dedup.ngram_jaccard_pairs(t("documents")))
     run("minhash_lsh", dedup.minhash_lsh_candidates(t("documents")))
+    run("near_dup_components", dedup.near_dup_components(t("documents")))
     run("text_stats", text.text_stats(t("documents")))
+    run("hash_split", curation.hash_split(t("documents")))
+    run("per_source_cap", curation.per_source_cap(t("documents")))
     run("token_counts", text.token_counts(t("documents")))
     run("doc_fingerprints", text.doc_fingerprints(t("documents")))
     run("cosine_topk", similarity.cosine_topk(t("embeddings")))
@@ -125,17 +128,23 @@ def main() -> None:
     cents = similarity.train_kmeans_centroids(big, n_cells=ann_k, n_iters=3, sample_fraction=0.3)
     largek_train_sec = round(time.perf_counter() - t0, 3)
     exact_big = {(r["query_id"], r["neighbor_id"]) for r in similarity.cosine_topk(big).collect()}
+    # first run pays JIT + codegen compile + Arrow worker spin-up (~4x the
+    # steady-state cost); report both so the amortized per-query cost a
+    # long-lived service sees is tracked, same convention as the scaling
+    # harness's untimed plan warm-up (tools/bench_scaling.py)
     t0 = time.perf_counter()
-    km_big = {
-        (r["query_id"], r["neighbor_id"])
-        for r in similarity.ivf_kmeans_topk(big, centroids=cents, nprobe=16).collect()
-    }
+    km_df = similarity.ivf_kmeans_topk(big, centroids=cents, nprobe=16)
+    km_big = {(r["query_id"], r["neighbor_id"]) for r in km_df.collect()}
+    largek_first_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    km_df.collect()
     largek_search_sec = round(time.perf_counter() - t0, 3)
     ann_largek = {
         "n_vectors": ann_n,
         "n_cells": ann_k,
         "nprobe": 16,
         "train_sec": largek_train_sec,
+        "search_first_sec": largek_first_sec,
         "search_sec": largek_search_sec,
         "recall_at_5": round(len(exact_big & km_big) / max(1, len(exact_big)), 3),
     }

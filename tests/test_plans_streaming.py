@@ -272,3 +272,75 @@ def test_streaming_view_click_join_drops_late_clicks(spark, tmp_path):
         assert (9, "later-click") in pairs and (8, "later2-click") in pairs
     finally:
         q.stop()
+
+
+def test_streaming_token_counts_parity(spark, tmp_path):
+    """Batch/streaming twin parity: the stateless token_counts projection
+    produces the IDENTICAL row set when the same documents arrive as
+    micro-batched files instead of one batch scan."""
+    import shutil
+
+    from texel_spark.operators.text import token_counts
+    from texel_spark.streaming.jobs import streaming_token_counts
+
+    indir = tmp_path / "docs_in"
+    indir.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", str(indir / "part-0.parquet"))
+
+    batch = spark.read.parquet(f"{SF}/documents.parquet")
+    expected = {tuple(r) for r in token_counts(batch).collect()}
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(indir))
+    out = streaming_token_counts(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tok_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql("SELECT * FROM tok_stream").collect()}
+        assert got == expected
+    finally:
+        q.stop()
+
+
+def test_streaming_hilbert_tiles_parity(spark, tmp_path):
+    """Batch/streaming twin parity for the Hilbert-keyed tile counts:
+    streaming aggregation in complete mode converges to exactly the
+    batch result once all files are consumed; state is one row per live
+    tile (bounded by 4^zoom, not event count)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from texel_spark.functions.udfs import hilbert_udf
+    from texel_spark.operators import spatial_queries as sq
+    from texel_spark.streaming.jobs import events_file_stream, streaming_hilbert_tiles
+
+    indir = tmp_path / "events_in"
+    indir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", str(indir / "part-0.parquet"))
+
+    zoom = 8
+    batch = sq.tile_assign(spark.read.parquet(f"{SF}/events.parquet"), zoom=zoom).withColumn(
+        "cell_id", hilbert_udf(zoom)(F.col("tx"), F.col("ty"))
+    )
+    expected = {tuple(r) for r in batch.collect()}
+
+    out = streaming_hilbert_tiles(events_file_stream(spark, str(indir)), zoom=zoom)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hilbert_stream")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql("SELECT * FROM hilbert_stream").collect()}
+        assert got == expected
+    finally:
+        q.stop()

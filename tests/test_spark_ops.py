@@ -789,3 +789,134 @@ def test_token_counts_known_strings(spark):
     # c: one punctuation run
     assert got["c"]["n_bpe_tokens"] == 1
     assert got["c"]["bytes_per_bpe_token_x100"] == 300
+
+
+def _uf_components(edges):
+    """Python union-find oracle: {node: min id in its component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_vs_union_find(spark):
+    from texel_spark.operators.graph import connected_components
+
+    # chain + triangle + isolated pair + a bridge merging two clusters
+    edges = [(1, 2), (2, 3), (3, 4), (20, 21), (21, 22), (22, 20), (10, 11), (4, 20)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component_id"] for r in connected_components(df).collect()}
+    assert got == _uf_components(edges)
+
+
+def test_connected_components_long_chain_and_dups(spark):
+    from texel_spark.operators.graph import connected_components
+
+    # worst case for naive label propagation: a 64-node path (diameter
+    # 63) - star rounds contract it in O(log n); duplicate + reversed
+    # edges must not change the result
+    edges = [(i, i + 1) for i in range(64)] + [(5, 4), (30, 31), (0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(5)
+    rows = connected_components(df).collect()
+    assert {r["node"] for r in rows} == set(range(65))
+    assert {r["component_id"] for r in rows} == {0}
+
+
+def test_connected_components_string_ids(spark):
+    from texel_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame([("b", "c"), ("a", "b"), ("x", "y")], "src string, dst string")
+    got = {r["node"]: r["component_id"] for r in connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_near_dup_components_planted(spark):
+    from texel_spark.operators.dedup import near_dup_components
+
+    base = "the quick brown fox jumps over the lazy dog again and again until dawn breaks over the hill"
+    near = base.replace("dawn", "dusk")
+    far = "completely different content with no overlap whatsoever in any shingle of this text at all"
+    pdf = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], "doc_id long, text string"
+    )
+    rows = near_dup_components(pdf).collect()
+    comp = {r["doc_id"]: r["component_id"] for r in rows}
+    canon = {r["doc_id"]: r["is_canonical"] for r in rows}
+    # the three near-dups cluster under the minimum id; the far doc is a
+    # singleton; exactly one canonical survivor per component
+    assert comp[1] == comp[2] == comp[4] == 1
+    assert comp[3] == 3
+    assert canon == {1: 1, 2: 0, 3: 1, 4: 0}
+
+
+def test_hash_split_deterministic_and_banded(spark):
+    import hashlib
+
+    from texel_spark.operators.curation import hash_split
+
+    pdf = spark.createDataFrame([(i, f"t{i}", "s") for i in range(300)], "doc_id long, text string, source string")
+    rows = hash_split(pdf).collect()
+    assert len(rows) == 300
+    for r in rows:
+        hv = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16) % 100
+        assert r["bucket"] == hv
+        assert r["split"] == ("train" if hv < 90 else "val" if hv < 95 else "test")
+    # partitioning-independent: same assignment at a different layout
+    again = {r["doc_id"]: r["split"] for r in hash_split(pdf.repartition(7)).collect()}
+    assert again == {r["doc_id"]: r["split"] for r in rows}
+
+
+def test_per_source_cap_two_paths_match_plain_window(spark):
+    import hashlib
+
+    from texel_spark.operators.curation import per_source_cap
+
+    # one oversized source (40 docs), two under the cap
+    data = [(i, f"t{i}", "big") for i in range(40)]
+    data += [(100 + i, f"t{i}", "small_a") for i in range(5)]
+    data += [(200 + i, f"t{i}", "small_b") for i in range(3)]
+    pdf = spark.createDataFrame(data, "doc_id long, text string, source string")
+    got = {(r["doc_id"], r["source"]) for r in per_source_cap(pdf, cap=10).collect()}
+
+    def hv(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+
+    keep_big = {d for d, _, s in data if s == "big"}
+    keep_big = set(sorted(keep_big, key=lambda d: (hv(d), d))[:10])
+    expected = {(d, s) for d, _, s in data if s != "big" or d in keep_big}
+    assert got == expected
+
+
+def test_embedding_dup_components_clusters_planted_pairs(spark):
+    """Same planted fixture as the pair test: the two planted pairs
+    become two 2-vector components with min-id canonicals; everything
+    else is a singleton canonical."""
+    import random
+
+    from texel_spark.operators.similarity import embedding_dup_components
+
+    rng = random.Random(7)
+    dim = 16
+    base1 = [rng.uniform(-1, 1) for _ in range(dim)]
+    near1 = [v + rng.uniform(-0.01, 0.01) for v in base1]
+    base2 = [rng.uniform(-1, 1) for _ in range(dim)]
+    near2 = [v * 1.5 + rng.uniform(-0.01, 0.01) for v in base2]
+    rows = [(0, base1), (1, near1), (2, base2), (3, near2)]
+    rows += [(10 + i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(20)]
+    pdf = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    out = {r["vec_id"]: (r["component_id"], r["is_canonical"]) for r in embedding_dup_components(pdf).collect()}
+    assert len(out) == 24
+    assert out[0] == (0, 1) and out[1] == (0, 0)
+    assert out[2] == (2, 1) and out[3] == (2, 0)
+    assert all(out[10 + i] == (10 + i, 1) for i in range(20))

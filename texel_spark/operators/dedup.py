@@ -332,3 +332,69 @@ SELECT doc_id, CAST({sim_terms} AS BIGINT) AS simhash,
        UNNEST([{band_exprs}]) AS band_bucket
 FROM v
 """
+
+
+def near_dup_components(
+    documents: DataFrame,
+    n: int = 3,
+    bands: int = 32,
+    rows_per_band: int = 4,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: every document labeled with the id of its
+    duplicate component (minimum doc_id in the component), plus an
+    is_canonical survivor flag - the keep/drop table a training-data
+    pipeline actually consumes, one step past the candidate pairs.
+
+    Pipeline: minhash_lsh_candidates -> connected components (alternating
+    large-star/small-star, operators.graph) -> left join back onto the
+    corpus so unpaired docs become singleton components of themselves.
+    At corpus scale the component step is O(log n) rounds of key-hashed
+    shuffles over the PAIRS (tiny next to the corpus); the only
+    corpus-sized operations are the LSH scan and the final equi-join.
+    Pass ``pairs`` (a (doc_a, doc_b) DataFrame, e.g. LSH candidates
+    verified through ngram_jaccard_pairs) to cluster a pre-verified set
+    instead of the raw LSH candidates.
+    """
+    from .graph import connected_components
+
+    if pairs is None:
+        pairs = minhash_lsh_candidates(documents, n, bands, rows_per_band)
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).withColumnRenamed("node", "doc_id")
+    cid = F.coalesce(F.col("component_id"), F.col("doc_id"))
+    return (
+        documents.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            cid.alias("component_id"),
+            (cid == F.col("doc_id")).cast("int").alias("is_canonical"),
+        )
+    )
+
+
+def near_dup_components_sql(n: int = 3, bands: int = 32, rows_per_band: int = 4) -> str:
+    """DuckDB twin: the LSH pair query feeds a recursive-CTE transitive
+    closure (min reachable label per node) - tractable because the
+    closure runs over the candidate pairs, not the corpus."""
+    inner = minhash_lsh_sql(n, bands, rows_per_band)
+    return f"""
+WITH RECURSIVE pairs AS ({inner}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach AS (
+  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+),
+comp AS (SELECT u AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY u)
+SELECT d.doc_id,
+       COALESCE(c.component_id, d.doc_id) AS component_id,
+       CAST(COALESCE(c.component_id, d.doc_id) = d.doc_id AS INT) AS is_canonical
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""

@@ -422,3 +422,51 @@ WHERE a.vec_id < b.vec_id
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
       >= CAST({threshold} AS DOUBLE)
 """
+
+
+def embedding_dup_components(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding near-dup CLUSTERS: every vector labeled with its
+    duplicate-component id (minimum vec_id) + canonical survivor flag -
+    the same pairs->components->survivors composition as
+    dedup.near_dup_components, over cosine pairs instead of LSH buckets.
+    Component rounds run over the PAIR set only; corpus-sized work is
+    the cell equi-join and the final left join.
+    """
+    from .graph import connected_components
+
+    pairs = embedding_near_dup(embeddings, threshold)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ).withColumnRenamed("node", "vec_id")
+    cid = F.coalesce(F.col("component_id"), F.col("vec_id"))
+    return (
+        embeddings.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            cid.alias("component_id"),
+            (cid == F.col("vec_id")).cast("int").alias("is_canonical"),
+        )
+    )
+
+
+def embedding_dup_components_sql(threshold: float = 0.95) -> str:
+    inner = embedding_near_dup_sql(threshold)
+    return f"""
+WITH RECURSIVE pairs AS ({inner}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+),
+comp AS (SELECT u AS vec_id, MIN(lbl) AS component_id FROM reach GROUP BY u)
+SELECT d.vec_id,
+       COALESCE(c.component_id, d.vec_id) AS component_id,
+       CAST(COALESCE(c.component_id, d.vec_id) = d.vec_id AS INT) AS is_canonical
+FROM embeddings d LEFT JOIN comp c USING (vec_id)
+"""

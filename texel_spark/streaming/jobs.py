@@ -79,17 +79,63 @@ def streaming_hourly_rollup(events_stream: DataFrame, watermark: str = "2 hours"
     )
 
 
-def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_s: float = 30.0):
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, timeout_s: float = 30.0, output_mode: str = "append"
+):
     """Drive a stream into an in-memory sink until timeout; returns query."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(processingTime="1 second")
         .start()
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def events_file_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Micro-batch ingest of the events table from a parquet directory
+    (same file-source semantics as :func:`document_file_stream`)."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def streaming_token_counts(docs_stream: DataFrame) -> DataFrame:
+    """Streaming twin of operators.text.token_counts.
+
+    The batch operator is a stateless whole-stage-codegen projection
+    (no aggregation, no state), so it applies to a micro-batched stream
+    UNCHANGED - each landed file of documents emits its token counts in
+    append mode.  Parity with the batch path is asserted set-exactly in
+    tests/test_plans_streaming.py.
+    """
+    from ..operators.text import token_counts
+
+    return token_counts(docs_stream)
+
+
+def streaming_hilbert_tiles(events_stream: DataFrame, zoom: int = 8) -> DataFrame:
+    """Streaming twin of the `hilbert_tile_assign` query: incremental
+    point->tile counts keyed by Hilbert d-index.
+
+    tile_assign's groupBy becomes a streaming aggregation (complete /
+    update mode); the Hilbert key is a stateless post-agg column, so the
+    Arrow-batched kernel runs unchanged per micro-batch.  At scale the
+    update-mode stream maintains one state row per live tile - bounded
+    by the tile universe (4^zoom), not the event count.
+    """
+    from ..functions.udfs import hilbert_udf
+    from ..operators import spatial_queries as sq
+
+    base = sq.tile_assign(events_stream, zoom=zoom)
+    return base.withColumn("cell_id", hilbert_udf(zoom)(F.col("tx"), F.col("ty")))
 
 
 def rate_events_stream(spark: SparkSession, rows_per_second: int = 200, n_users: int = 20) -> DataFrame:
