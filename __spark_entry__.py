@@ -160,6 +160,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components": lambda s, d: dedup.near_dup_components(_t(s, d, "documents")),
         "hash_split": lambda s, d: curation.hash_split(_t(s, d, "documents")),
         "per_source_cap": lambda s, d: curation.per_source_cap(_t(s, d, "documents"), cap=10),
+        "curation_pipeline": lambda s, d: curation.curation_pipeline(
+            _t(s, d, "documents"), cap=10
+        ),
         # text analysis
         "text_stats": lambda s, d: text.text_stats(_t(s, d, "documents")),
         "token_counts": lambda s, d: text.token_counts(_t(s, d, "documents")),
@@ -246,6 +249,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_components": dedup.near_dup_components_sql(),
         "hash_split": curation.hash_split_sql(),
         "per_source_cap": curation.per_source_cap_sql(cap=10),
+        "curation_pipeline": curation.curation_pipeline_sql(cap=10),
         "text_stats": text.text_stats_sql(),
         "token_counts": text.token_counts_sql(),
         "lang_stopword_score": text.lang_stopword_score_sql(),

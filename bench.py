@@ -91,6 +91,7 @@ def main() -> None:
     run("text_stats", text.text_stats(t("documents")))
     run("hash_split", curation.hash_split(t("documents")))
     run("per_source_cap", curation.per_source_cap(t("documents")))
+    run("curation_pipeline", curation.curation_pipeline(t("documents")))
     run("token_counts", text.token_counts(t("documents")))
     run("doc_fingerprints", text.doc_fingerprints(t("documents")))
     run("cosine_topk", similarity.cosine_topk(t("embeddings")))

@@ -920,3 +920,62 @@ def test_embedding_dup_components_clusters_planted_pairs(spark):
     assert out[0] == (0, 1) and out[1] == (0, 0)
     assert out[2] == (2, 1) and out[3] == (2, 0)
     assert all(out[10 + i] == (10 + i, 1) for i in range(20))
+
+
+def test_curation_pipeline_every_stage_bites(spark):
+    """Planted fixture where each of the four stages drops something:
+    the short doc dies at the quality filter, the near-dup loses to its
+    canonical, the oversized source is capped to the smallest
+    (id-hash, id) pairs, and splits match the md5 band replicated in
+    Python."""
+    import hashlib
+    import random
+    import re
+
+    from texel_spark.operators.curation import curation_pipeline
+    from texel_spark.operators.text import BPE_TOKEN_RE
+
+    vocab = ["maple", "river", "stone", "cloud", "ember", "frost", "haven",
+             "ridge", "birch", "cedar", "otter", "heron", "plain", "grove",
+             "brook", "marsh", "dune", "vale", "crag", "fjord"]
+    rng = random.Random(11)
+
+    def doc(i):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(25)]
+        return " ".join(words)
+
+    base = " ".join(vocab[:10]) + " " + " ".join(vocab[:10]) + " " + " ".join(vocab[:10])
+    near = base.replace("ember", "embers", 1)
+    rows = [
+        (1, base, "en", "dup_src"),
+        (2, near, "en", "dup_src"),
+        (3, "too short to survive the floor", "en", "s2"),
+        (4, doc(4), "en", "s2"),
+    ] + [(100 + i, doc(i), "en", "big") for i in range(15)]
+
+    # fixture sanity: every long doc passes the bytes-per-token band the
+    # operator filters on (replicated with Python re) - fails loudly if
+    # the vocabulary drifts out of band
+    for _, text, _, _ in rows:
+        if len(text.split(" ")) >= 20:
+            bpt = 100 * len(text) // max(1, len(re.findall(BPE_TOKEN_RE, text)))
+            assert 480 <= bpt <= 600, (text, bpt)
+
+    pdf = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r["doc_id"]: (r["source"], r["split"]) for r in curation_pipeline(pdf, cap=5).collect()}
+
+    def hv(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+
+    # stage 1: quality floor drops doc 3
+    assert 3 not in out
+    # stage 2: near-dup pair collapses to its minimum id
+    assert 1 in out and 2 not in out
+    # stage 3: oversized source capped to the 5 smallest (hash, id) pairs
+    big_ids = sorted((100 + i for i in range(15)), key=lambda d: (hv(d), d))[:5]
+    assert {d for d, (s, _) in out.items() if s == "big"} == set(big_ids)
+    # stage 4: deterministic md5-band split
+    for d, (_, split) in out.items():
+        b = hv(d) % 100
+        assert split == ("train" if b < 90 else "val" if b < 95 else "test")
+    assert set(out) == {1, 4} | set(big_ids)

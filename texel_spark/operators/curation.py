@@ -21,6 +21,18 @@ def _id_hash(col: str = "doc_id"):
     return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10).cast("long")
 
 
+def _split_exprs(weights: list[tuple[str, int]]):
+    """(bucket, split) column expressions for the cumulative-weight bands."""
+    denom = sum(w for _, w in weights)
+    bucket = _id_hash() % denom
+    acc = 0
+    split = None
+    for name, w in weights:
+        acc += w
+        split = F.when(bucket < acc, name) if split is None else split.when(bucket < acc, name)
+    return bucket, split
+
+
 def hash_split(documents: DataFrame, weights: list[tuple[str, int]] | None = None) -> DataFrame:
     """Deterministic train/val/test assignment: bucket = id-hash modulo
     the weight total, split = the bucket's cumulative-weight band.
@@ -30,14 +42,7 @@ def hash_split(documents: DataFrame, weights: list[tuple[str, int]] | None = Non
     layout yields byte-identical assignments - the property random
     splits lose at scale.  Integer weights keep the band edges exact.
     """
-    weights = weights or _DEFAULT_WEIGHTS
-    denom = sum(w for _, w in weights)
-    bucket = _id_hash() % denom
-    acc = 0
-    split = None
-    for name, w in weights:
-        acc += w
-        split = F.when(bucket < acc, name) if split is None else split.when(bucket < acc, name)
+    bucket, split = _split_exprs(weights or _DEFAULT_WEIGHTS)
     return documents.select("doc_id", bucket.alias("bucket"), split.alias("split"))
 
 
@@ -93,4 +98,103 @@ WITH r AS (
   FROM documents
 )
 SELECT doc_id, source FROM r WHERE rk <= {cap}
+"""
+
+
+def curation_pipeline(
+    documents: DataFrame,
+    min_ws_tokens: int = 20,
+    bpt_lo: int = 480,
+    bpt_hi: int = 600,
+    cap: int = 100,
+    weights: list[tuple[str, int]] | None = None,
+) -> DataFrame:
+    """The end-to-end training-data curation composition: quality filter
+    -> near-dup canonical survivors -> per-source cap -> deterministic
+    split.  Output: (doc_id, source, split) - the manifest a training
+    run consumes.
+
+    Stage order is the 100 TB order: the stateless quality predicate
+    (whitespace-token floor + bytes-per-BPE-token band, the boilerplate/
+    non-text screen) runs FIRST at the scan so the expensive stages -
+    MinHash signatures, component rounds - see only the surviving
+    fraction; dedup precedes the source cap so duplicate-heavy sources
+    can't fill their quota with copies; the split is assigned last and
+    depends only on doc_id, so re-curating with different thresholds
+    never moves a surviving document across splits.  Every stage is the
+    already-oracled operator (token_counts metrics, near_dup_components,
+    per_source_cap, hash_split) composed declaratively - Catalyst fuses
+    the filter into the scan and the whole composition stays one plan.
+    """
+    from .dedup import near_dup_components
+    from .text import BPE_TOKEN_RE
+
+    ws = F.size(F.split(F.col("text"), " "))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0))
+    bpt = F.floor(F.lit(100) * F.length("text") / F.greatest(bpe, F.lit(1)))
+    docs = documents.where((ws >= min_ws_tokens) & (bpt >= bpt_lo) & (bpt <= bpt_hi))
+    comp = near_dup_components(docs)
+    canon = docs.join(comp.where(F.col("is_canonical") == 1).select("doc_id"), "doc_id")
+    capped = per_source_cap(canon, cap)
+    _, split = _split_exprs(weights or _DEFAULT_WEIGHTS)
+    return capped.select("doc_id", "source", split.alias("split"))
+
+
+def curation_pipeline_sql(
+    min_ws_tokens: int = 20,
+    bpt_lo: int = 480,
+    bpt_hi: int = 600,
+    cap: int = 100,
+    weights: list[tuple[str, int]] | None = None,
+    n: int = 3,
+    bands: int = 32,
+    rows_per_band: int = 4,
+) -> str:
+    """DuckDB twin: the same four stages as one nested-CTE query (the
+    minhash chain runs over the filtered `docs` CTE via its `relation`
+    parameter)."""
+    from .dedup import minhash_lsh_sql
+    from .text import BPE_TOKEN_RE
+
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    pairs_inner = minhash_lsh_sql(n, bands, rows_per_band, relation="docs")
+    hv = "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    weights = weights or _DEFAULT_WEIGHTS
+    denom = sum(w for _, w in weights)
+    acc = 0
+    whens = []
+    for name, w in weights:
+        acc += w
+        whens.append(f"WHEN ({hv} % {denom}) < {acc} THEN '{name}'")
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT * FROM documents
+  WHERE len(string_split(text, ' ')) >= {min_ws_tokens}
+    AND FLOOR(100 * length(text)
+              / GREATEST(len(regexp_extract_all(text, '{pat}')), 1))
+        BETWEEN {bpt_lo} AND {bpt_hi}
+),
+pairs AS ({pairs_inner}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach AS (
+  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+),
+comp AS (SELECT u AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY u),
+canon AS (
+  SELECT d.doc_id, d.source FROM docs d LEFT JOIN comp c USING (doc_id)
+  WHERE COALESCE(c.component_id, d.doc_id) = d.doc_id
+),
+r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY {hv}, doc_id) AS rk
+  FROM canon
+)
+SELECT doc_id, source, CASE {' '.join(whens)} END AS split
+FROM r WHERE rk <= {cap}
 """

@@ -207,15 +207,20 @@ def minhash_lsh_candidates(
     )
 
 
-def minhash_lsh_sql(n: int = 3, bands: int = 32, rows_per_band: int = 4) -> str:
-    """DuckDB twin of minhash_lsh_candidates (bit-exact signatures)."""
+def minhash_lsh_sql(
+    n: int = 3, bands: int = 32, rows_per_band: int = 4, relation: str = "documents"
+) -> str:
+    """DuckDB twin of minhash_lsh_candidates (bit-exact signatures).
+
+    ``relation`` lets composite oracles (curation_pipeline_sql) run the
+    same chain over a filtered CTE instead of the base table."""
     n_perm = bands * rows_per_band
     a, b = _minhash_perms(n_perm)
     a_lst = "[" + ",".join(str(x) for x in a) + "]"
     b_lst = "[" + ",".join(str(x) for x in b) + "]"
     return f"""
 WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  SELECT doc_id, string_split(text, ' ') AS t FROM {relation}
   WHERE len(string_split(text, ' ')) >= {n}
 ),
 sh AS (
