@@ -344,3 +344,15 @@ def test_streaming_hilbert_tiles_parity(spark, tmp_path):
         assert got == expected
     finally:
         q.stop()
+
+
+def test_per_source_cap_broadcasts_and_prunes(spark):
+    """The oversized-source membership join is a BROADCAST (the heavy-
+    source list is tiny by construction), and only (doc_id, source)
+    reach the parquet reader - the corpus never shuffles for the
+    under-cap long tail."""
+    from texel_spark.operators.curation import per_source_cap
+
+    df = per_source_cap(spark.read.parquet(f"{SF}/documents.parquet"), cap=10)
+    assert_broadcast_join(df)
+    assert_pushed_read_schema(df, ["doc_id", "source"], ["text", "lang", "n_chars"])
