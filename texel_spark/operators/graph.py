@@ -62,11 +62,16 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     action per round instead of a subtract() shuffle.
     """
     # node ids need only a total order (min/least/comparisons): long ids
-    # and string ids both work; component_id keeps the input id type
+    # and string ids both work; component_id keeps the input id type.
+    # Checkpoint the INPUT edge set too: each star step references its
+    # edges twice (e union e-reversed), so an unmaterialized upstream -
+    # e.g. the whole MinHash-LSH candidate generation - would be
+    # evaluated twice in round 1
     e = (
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sig = None
     for _ in range(max_iters):
