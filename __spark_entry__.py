@@ -42,7 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from texel_spark.grid.tms import load_embedded
-    from texel_spark.operators import curation, dedup, events, multimodal, similarity, text
+    from texel_spark.operators import curation, dedup, events, multimodal, similarity, temporal, text
     from texel_spark.operators import spatial_queries as sq
     from texel_spark.operators.snap_tiles import snap_pipeline_df
     from texel_spark.sources.documents import (
@@ -185,6 +185,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events / windows
         "hourly_rollup": lambda s, d: events.hourly_rollup(_t(s, d, "events")),
         "sessionize": lambda s, d: events.sessionize(_t(s, d, "events")),
+        "asof_join": lambda s, d: temporal.asof_join(_t(s, d, "events")),
+        # 4h window: sf0.01 events are sparse per user (~300 rows with a
+        # match); the operator default stays 600s
+        "range_pair_join": lambda s, d: temporal.range_pair_join(
+            _t(s, d, "events"), window_s=14400
+        ),
+        # curation extras
+        "pii_scrub": lambda s, d: text.pii_scrub(_t(s, d, "documents")),
+        "source_mixture": lambda s, d: curation.source_mixture(_t(s, d, "documents")),
         # multimodal plumbing (decode stubbed, schema/batch shape real)
         "media_stats": lambda s, d: multimodal.media_stats(_synth_docs(s, 400)),
         "media_features": lambda s, d: multimodal.extract_media_features(
@@ -221,7 +230,7 @@ def _snap_tile_fanout_oracle_nz() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from texel_spark.operators import curation, dedup, events, text
+    from texel_spark.operators import curation, dedup, events, temporal, text
     from texel_spark.operators import spatial_queries as sq
     from texel_spark.operators.similarity import (
         cosine_topk_sql,
@@ -259,6 +268,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dup_components": embedding_dup_components_sql(threshold=0.3),
         "hourly_rollup": events.HOURLY_ROLLUP_SQL,
         "sessionize": events.sessionize_sql(),
+        "asof_join": temporal.asof_join_sql(),
+        "range_pair_join": temporal.range_pair_join_sql(window_s=14400),
+        "pii_scrub": text.pii_scrub_sql(),
+        "source_mixture": curation.source_mixture_sql(),
         # snap_pipeline* / span_roundtrip / ivf_cosine_topk /
         # ivf_kmeans_topk / media_* are non-SQL-expressible (custom
         # kernels / iterative training / ANN) -> rows-only; each

@@ -37,7 +37,7 @@ def main() -> None:
 
     from texel_spark.grid.tms import load_embedded
     from texel_spark.kernel.snap import SnapConfig
-    from texel_spark.operators import curation, dedup, events, similarity, text
+    from texel_spark.operators import curation, dedup, events, similarity, temporal, text
     from texel_spark.operators import spatial_queries as sq
     from texel_spark.operators.snap_tiles import snap_pipeline_df
     from texel_spark.session import get_spark
@@ -98,6 +98,10 @@ def main() -> None:
     run("ivf_cosine_topk", similarity.ivf_cosine_topk(t("embeddings")))
     run("hourly_rollup", events.hourly_rollup(t("events")))
     run("sessionize", events.sessionize(t("events")))
+    run("asof_join", temporal.asof_join(t("events")))
+    run("range_pair_join", temporal.range_pair_join(t("events"), window_s=14400))
+    run("pii_scrub", text.pii_scrub(t("documents")))
+    run("source_mixture", curation.source_mixture(t("documents")))
 
     # ANN quality: recall@k of the IVF path vs the exact scan (VERDICT r1
     # item 8) - a fast-but-blind ANN would otherwise look like a win

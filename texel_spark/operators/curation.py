@@ -101,6 +101,58 @@ SELECT doc_id, source FROM r WHERE rk <= {cap}
 """
 
 
+_DEFAULT_MIX: list[tuple[str, int]] = [
+    ("src0", 1000), ("src1", 750), ("src2", 500), ("src3", 250), ("src4", 100),
+]
+
+
+def _mix_hash(col: str = "doc_id"):
+    """Salted id hash for mixture decisions - a DIFFERENT band than
+    hash_split's (salt 'mix:') so sampling never correlates with split
+    assignment (an unsalted reuse would, e.g., put every kept doc of a
+    50%-sampled source in the first half of the split bands)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix:"), F.col(col).cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+
+
+def source_mixture(
+    documents: DataFrame,
+    rates: list[tuple[str, int]] | None = None,
+    default_permille: int = 300,
+) -> DataFrame:
+    """Deterministic per-source weighted sampling - the 'data mixing'
+    step that reweights corpus sources to target proportions before
+    training.  ``rates`` gives keep-rates in permille per source; other
+    sources keep ``default_permille``.
+
+    Keep iff salted-id-hash % 1000 < rate: stateless per row (a scan
+    filter Catalyst pushes to the reader - no shuffle, no RNG, no
+    per-source state), so the same document survives with the same
+    mixture on every run and cluster layout, and upweighting a source
+    later only ADDS documents (bands are nested: rate r's survivors are
+    a superset of rate r' < r's).
+    """
+    rates = rates if rates is not None else _DEFAULT_MIX
+    rate = F.lit(default_permille)
+    for name, r in rates:
+        rate = F.when(F.col("source") == name, r).otherwise(rate)
+    return documents.where(_mix_hash() % 1000 < rate).select("doc_id", "source")
+
+
+def source_mixture_sql(
+    rates: list[tuple[str, int]] | None = None, default_permille: int = 300
+) -> str:
+    rates = rates if rates is not None else _DEFAULT_MIX
+    hv = "CAST(CONCAT('0x', substr(md5(CONCAT('mix:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)"
+    whens = " ".join(f"WHEN source = '{n}' THEN {r}" for n, r in rates)
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE {hv} % 1000 < CASE {whens} ELSE {default_permille} END
+"""
+
+
 def curation_pipeline(
     documents: DataFrame,
     min_ws_tokens: int = 20,

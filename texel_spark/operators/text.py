@@ -142,6 +142,82 @@ def doc_fingerprints(documents: DataFrame, k: int = 32, stride: int = 16) -> Dat
     return documents.select("doc_id", F.posexplode(grams).alias("gram_idx", "fingerprint"))
 
 
+# PII patterns restricted to the Java-regex/RE2 common subset (character
+# classes, bounded repeats, \b word boundaries - no lookaround, no
+# backrefs) so Spark and DuckDB match byte-identically.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _pii_augmented_text():
+    """The synthetic documents carry no PII, so the operator's query
+    form deterministically plants one email / phone / IPv4 per doc
+    (derived from doc_id - both engines construct the identical string)
+    before scrubbing.  On real data, pass ``augment=False``."""
+    d = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact u"), d, F.lit("@example.com call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 250).cast("string"), F.lit(" end"),
+    )
+
+
+def pii_scrub(documents: DataFrame, augment: bool = True) -> DataFrame:
+    """Redact emails, phone numbers and IPv4 addresses to typed
+    placeholder tokens, reporting per-doc counts and the md5 of the
+    scrubbed text.
+
+    Stateless whole-stage-codegen scan (regexp_extract_all +
+    regexp_replace chains, no Python workers) - at 100 TB this is a pure
+    map over the corpus with nothing to shuffle.  Redaction is
+    sequential (emails, then phones, then IPs), each count taken on the
+    text as the previous stage left it, so a digit run inside an email
+    is never double-counted as a phone.
+    """
+    src = _pii_augmented_text() if augment else F.col("text")
+    n_emails = F.size(F.regexp_extract_all(src, F.lit(EMAIL_RE), 0))
+    s1 = F.regexp_replace(src, EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(s1, F.lit(PHONE_RE), 0))
+    s2 = F.regexp_replace(s1, PHONE_RE, "<PHONE>")
+    n_ips = F.size(F.regexp_extract_all(s2, F.lit(IPV4_RE), 0))
+    s3 = F.regexp_replace(s2, IPV4_RE, "<IP>")
+    return documents.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        F.length(s3).cast("long").alias("scrubbed_len"),
+        F.md5(s3).alias("scrubbed_md5"),
+    )
+
+
+def pii_scrub_sql(augment: bool = True) -> str:
+    email = EMAIL_RE
+    phone = PHONE_RE
+    src = (
+        "concat(text, ' contact u', CAST(doc_id AS VARCHAR), '@example.com call 555-', "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), "
+        "' from 10.', CAST(doc_id % 200 AS VARCHAR), '.0.', CAST(doc_id % 250 AS VARCHAR), ' end')"
+        if augment
+        else "text"
+    )
+    s1 = f"regexp_replace({src}, '{email}', '<EMAIL>', 'g')"
+    s2 = f"regexp_replace({s1}, '{phone}', '<PHONE>', 'g')"
+    s3 = f"regexp_replace({s2}, '{IPV4_RE}', '<IP>', 'g')"
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all({src}, '{email}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all({s1}, '{phone}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all({s2}, '{IPV4_RE}')) AS INT) AS n_ips,
+       CAST(length({s3}) AS BIGINT) AS scrubbed_len,
+       md5({s3}) AS scrubbed_md5
+FROM documents
+"""
+
+
 def doc_fingerprints_sql(k: int = 32, stride: int = 16) -> str:
     return f"""
 WITH wins AS (
