@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # curation extras
         "pii_scrub": lambda s, d: text.pii_scrub(_t(s, d, "documents")),
+        "length_quantiles": lambda s, d: text.length_quantiles(_t(s, d, "documents")),
         "source_mixture": lambda s, d: curation.source_mixture(_t(s, d, "documents")),
         # multimodal plumbing (decode stubbed, schema/batch shape real)
         "media_stats": lambda s, d: multimodal.media_stats(_synth_docs(s, 400)),
@@ -271,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": temporal.asof_join_sql(),
         "range_pair_join": temporal.range_pair_join_sql(window_s=14400),
         "pii_scrub": text.pii_scrub_sql(),
+        "length_quantiles": text.length_quantiles_sql(),
         "source_mixture": curation.source_mixture_sql(),
         # snap_pipeline* / span_roundtrip / ivf_cosine_topk /
         # ivf_kmeans_topk / media_* are non-SQL-expressible (custom

@@ -101,6 +101,7 @@ def main() -> None:
     run("asof_join", temporal.asof_join(t("events")))
     run("range_pair_join", temporal.range_pair_join(t("events"), window_s=14400))
     run("pii_scrub", text.pii_scrub(t("documents")))
+    run("length_quantiles", text.length_quantiles(t("documents")))
     run("source_mixture", curation.source_mixture(t("documents")))
 
     # ANN quality: recall@k of the IVF path vs the exact scan (VERDICT r1

@@ -176,6 +176,32 @@ def test_pii_scrub_query_form_matches_duckdb(spark):
     assert all(v[0] == 1 and v[1] == 1 and v[2] == 1 for v in got.values())
 
 
+def test_length_quantiles_ansi_semantics(spark):
+    """Spark's percentile_disc must equal the ANSI ceil-rank definition
+    (the form the DuckDB oracle pins) - including duplicate values and
+    tiny groups where interpolation variants diverge."""
+    import math
+
+    from texel_spark.operators.text import QUANTILES, length_quantiles
+
+    vals = {"en": [10, 10, 20, 30, 100], "de": [7], "fr": [5, 6], "zh": [1, 2, 2, 2, 3, 9]}
+    rows = [
+        (100 * h + i, "t", lang, "s", v)
+        for h, (lang, vs) in enumerate(sorted(vals.items()))
+        for i, v in enumerate(vs)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["lang"]: r.asDict() for r in length_quantiles(docs).collect()}
+    for lang, vs in vals.items():
+        s = sorted(vs)
+        assert got[lang]["n_docs"] == len(s)
+        for p in QUANTILES:
+            want = s[max(0, math.ceil(len(s) * p / 100) - 1)]
+            assert got[lang][f"p{p}"] == want, (lang, p)
+
+
 def test_source_mixture_properties(spark):
     from texel_spark.operators.curation import source_mixture
 

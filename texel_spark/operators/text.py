@@ -128,6 +128,48 @@ FROM documents GROUP BY lang
 """
 
 
+QUANTILES = (25, 50, 90, 99)
+
+
+def length_quantiles(documents: DataFrame) -> DataFrame:
+    """Exact per-lang discrete quantiles of document length (ANSI
+    percentile_disc: the smallest value whose cumulative fraction >= p).
+
+    Per-GROUP exact quantiles are the right scale shape when groups are
+    many and bounded (each group's sort is partition-local after the
+    groupBy shuffle); for GLOBAL quantiles over 100 TB swap in
+    approx_percentile (t-digest, map-side-combinable) - same output
+    schema, bounded memory, no total sort.
+    """
+    aggs = [F.count("*").alias("n_docs")] + [
+        F.expr(f"percentile_disc({p / 100}) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long")
+        .alias(f"p{p}")
+        for p in QUANTILES
+    ]
+    return documents.groupBy("lang").agg(*aggs)
+
+
+def length_quantiles_sql() -> str:
+    # explicit ceil-rank selection rather than DuckDB's quantile_disc:
+    # pins the ANSI definition (smallest rank k with k/n >= p) so the
+    # oracle can't drift on interpolation-variant semantics
+    cols = ", ".join(
+        f"CAST(MIN(CASE WHEN rk >= CEIL(n * {p / 100}) THEN n_chars END) AS BIGINT) AS p{p}"
+        for p in QUANTILES
+    )
+    return f"""
+WITH r AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, MAX(n) AS n_docs, {cols}
+FROM r GROUP BY lang
+"""
+
+
 def doc_fingerprints(documents: DataFrame, k: int = 32, stride: int = 16) -> DataFrame:
     """Winnowing-style k-gram document fingerprints: the md5 of every
     k-char window sampled each ``stride`` chars (gram_idx = window
