@@ -356,3 +356,47 @@ def test_per_source_cap_broadcasts_and_prunes(spark):
     df = per_source_cap(spark.read.parquet(f"{SF}/documents.parquet"), cap=10)
     assert_broadcast_join(df)
     assert_pushed_read_schema(df, ["doc_id", "source"], ["text", "lang", "n_chars"])
+
+
+def test_streaming_asof_join_parity(spark, tmp_path):
+    """Batch/streaming twin parity for the as-of join: the same events
+    replayed as three time-ordered micro-batch files produce EXACTLY the
+    batch asof_join rows - including matches that span a batch boundary
+    (the O(1) per-user state carries the latest click across files)."""
+    from texel_spark.operators.temporal import asof_join
+    from texel_spark.streaming.jobs import events_file_stream, streaming_asof_join
+
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    expected = {tuple(r) for r in asof_join(batch).collect()}
+    assert expected  # fixture sanity: some errors exist
+
+    # split into 3 strictly time-ordered files so state MUST cross
+    # micro-batch boundaries for parity to hold
+    indir = tmp_path / "events_in"
+    indir.mkdir()
+    rows = batch.orderBy("ts", "event_id").collect()
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third]
+        spark.createDataFrame(chunk, batch.schema).coalesce(1).write.parquet(
+            str(indir / f"chunk{i}"), mode="overwrite"
+        )
+    import glob
+    import shutil
+    import time
+
+    for i in range(3):
+        (src,) = glob.glob(str(indir / f"chunk{i}" / "part-*.parquet"))
+        shutil.move(src, str(indir / f"part-{i}.parquet"))
+        shutil.rmtree(str(indir / f"chunk{i}"))
+        time.sleep(0.05)  # distinct mtimes: file source replays in order
+
+    out = streaming_asof_join(events_file_stream(spark, str(indir), max_files_per_trigger=1))
+    assert out.isStreaming
+    q = out.writeStream.format("memory").queryName("asof_stream").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql("SELECT * FROM asof_stream").collect()}
+        assert got == expected
+    finally:
+        q.stop()

@@ -191,6 +191,65 @@ def streaming_sessionize(events_stream: DataFrame, gap_seconds: int = 30) -> Dat
     )
 
 
+def streaming_asof_join(
+    events_stream: DataFrame, left_type: str = "error", right_type: str = "click"
+) -> DataFrame:
+    """Streaming twin of operators.temporal.asof_join via
+    applyInPandasWithState: per-user state is ONE row - the (epoch_us,
+    event_id) of the latest ``right_type`` event seen - and every
+    ``left_type`` row appends its match immediately.  O(1) state per
+    user regardless of history length (the batch form's running-last
+    window, made incremental).
+
+    Exactly the batch tie rule: rows are processed sorted by (epoch_us,
+    is-left, event_id), so an equal-time right event IS visible to the
+    left event and the largest event_id wins among equal-time rights.
+    Correct under event-time-ordered micro-batches (a time-partitioned
+    log replayed file-by-file, as in the parity test); out-of-order
+    arrival would need a watermark + reorder buffer in front.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "event_id long, user_id long, epoch_us long, match_event_id long, lag_us long"
+    state_schema = "r_epoch long, r_id long"
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        r_epoch, r_id = state.get if state.exists else (None, None)
+        out = {k: [] for k in ("event_id", "epoch_us", "match_event_id", "lag_us")}
+        rows = []
+        for pdf in pdfs:
+            for ts, etype, eid in zip(pdf["ts"], pdf["event_type"], pdf["event_id"]):
+                if etype == left_type or etype == right_type:
+                    epoch = pd.Timestamp(ts).value // 1000
+                    rows.append((epoch, 1 if etype == left_type else 0, int(eid)))
+        for epoch, is_left, eid in sorted(rows):
+            if is_left:
+                out["event_id"].append(eid)
+                out["epoch_us"].append(epoch)
+                out["match_event_id"].append(r_id)
+                out["lag_us"].append(None if r_epoch is None else epoch - r_epoch)
+            else:
+                r_epoch, r_id = epoch, eid
+        if r_id is not None:
+            state.update((r_epoch, r_id))
+        if out["event_id"]:
+            yield pd.DataFrame(
+                {
+                    "event_id": out["event_id"],
+                    "user_id": [user_id] * len(out["event_id"]),
+                    "epoch_us": out["epoch_us"],
+                    "match_event_id": pd.array(out["match_event_id"], dtype="Int64"),
+                    "lag_us": pd.array(out["lag_us"], dtype="Int64"),
+                }
+            )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_view_click_join(
     views_stream: DataFrame,
     clicks_stream: DataFrame,
