@@ -195,6 +195,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": lambda s, d: text.pii_scrub(_t(s, d, "documents")),
         "length_quantiles": lambda s, d: text.length_quantiles(_t(s, d, "documents")),
         "source_mixture": lambda s, d: curation.source_mixture(_t(s, d, "documents")),
+        "repetition_stats": lambda s, d: text.repetition_stats(_t(s, d, "documents")),
+        # n=3 here: at n=5 the synthetic corpus shares zero cross-band
+        # shingles and the oracle would compare an all-zero column
+        "decontaminate": lambda s, d: dedup.decontaminate(_t(s, d, "documents"), n=3),
+        "sequence_pack": lambda s, d: curation.sequence_pack(_t(s, d, "documents")),
+        "deterministic_shuffle": lambda s, d: curation.deterministic_shuffle(
+            _t(s, d, "documents")
+        ),
         # multimodal plumbing (decode stubbed, schema/batch shape real)
         "media_stats": lambda s, d: multimodal.media_stats(_synth_docs(s, 400)),
         "media_features": lambda s, d: multimodal.extract_media_features(
@@ -274,6 +282,10 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": text.pii_scrub_sql(),
         "length_quantiles": text.length_quantiles_sql(),
         "source_mixture": curation.source_mixture_sql(),
+        "repetition_stats": text.repetition_stats_sql(),
+        "decontaminate": dedup.decontaminate_sql(n=3),
+        "sequence_pack": curation.sequence_pack_sql(),
+        "deterministic_shuffle": curation.deterministic_shuffle_sql(),
         # snap_pipeline* / span_roundtrip / ivf_cosine_topk /
         # ivf_kmeans_topk / media_* are non-SQL-expressible (custom
         # kernels / iterative training / ANN) -> rows-only; each

@@ -103,6 +103,10 @@ def main() -> None:
     run("pii_scrub", text.pii_scrub(t("documents")))
     run("length_quantiles", text.length_quantiles(t("documents")))
     run("source_mixture", curation.source_mixture(t("documents")))
+    run("repetition_stats", text.repetition_stats(t("documents")))
+    run("decontaminate", dedup.decontaminate(t("documents"), n=3))
+    run("sequence_pack", curation.sequence_pack(t("documents")))
+    run("deterministic_shuffle", curation.deterministic_shuffle(t("documents")))
 
     # ANN quality: recall@k of the IVF path vs the exact scan (VERDICT r1
     # item 8) - a fast-but-blind ANN would otherwise look like a win

@@ -14,6 +14,7 @@ pyspark = pytest.importorskip("pyspark")
 from texel_spark.plans.checks import (
     assert_broadcast_join,
     assert_max_shuffles,
+    assert_no_python_stage,
     assert_pushed_read_schema,
     assert_whole_stage_codegen,
     count_exchanges,
@@ -400,3 +401,70 @@ def test_streaming_asof_join_parity(spark, tmp_path):
         assert got == expected
     finally:
         q.stop()
+
+
+def test_repetition_stats_is_shuffle_free_codegen(spark):
+    """Per-row array math: zero exchanges, no Python stage, pruned scan."""
+    from texel_spark.operators.text import repetition_stats
+
+    df = repetition_stats(spark.read.parquet(f"{SF}/documents.parquet"))
+    assert_max_shuffles(df, 0)
+    assert_no_python_stage(df)
+    assert_pushed_read_schema(df, ["doc_id", "text"], ["source", "lang", "n_chars"])
+
+
+def test_decontaminate_broadcasts_eval_ngrams(spark):
+    """The eval n-gram set broadcasts; the corpus side never shuffles its
+    exploded shingles into the join."""
+    from texel_spark.operators.dedup import decontaminate
+
+    df = decontaminate(spark.read.parquet(f"{SF}/documents.parquet"), n=3)
+    assert_broadcast_join(df)
+    assert_no_python_stage(df)
+    assert_pushed_read_schema(df, ["doc_id", "text"], ["source", "lang", "n_chars"])
+
+
+def test_sequence_pack_windows_per_shard(spark):
+    """Packing is per-shard (no global single-partition window) and the
+    shard count bounds every window partition."""
+    from texel_spark.operators.curation import sequence_pack
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = sequence_pack(docs, budget=64, n_salt=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # partitionBy shard, not a global empty partition spec
+    assert "hashpartitioning(shard" in plan
+    rows = df.collect()
+    assert {r.shard for r in rows} == set(range(8))
+    # offsets within a shard are gapless: sum of tokens == max start+last
+    import collections
+
+    by_shard = collections.defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r)
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.start_offset)
+        acc = 0
+        for r in rs:
+            assert r.start_offset == acc
+            assert r.chunk_id == acc // 64
+            assert r.offset_in_chunk == acc % 64
+            acc += r.n_tokens
+
+
+def test_deterministic_shuffle_is_permutation_and_stable(spark):
+    from texel_spark.operators.curation import deterministic_shuffle
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = deterministic_shuffle(docs, n_shards=16).collect()
+    b = deterministic_shuffle(docs.repartition(13), n_shards=16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # layout-independent
+    # (shard, pos) is a dense permutation
+    seen = {(r.shard, r.pos) for r in a}
+    assert len(seen) == len(a) == docs.count()
+    import collections
+
+    per = collections.Counter(r.shard for r in a)
+    for shard, n in per.items():
+        assert {p for s, p in seen if s == shard} == set(range(n))

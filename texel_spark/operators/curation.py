@@ -250,3 +250,99 @@ r AS (
 SELECT doc_id, source, CASE {' '.join(whens)} END AS split
 FROM r WHERE rk <= {cap}
 """
+
+
+def sequence_pack(documents: DataFrame, budget: int = 128, n_salt: int = 8) -> DataFrame:
+    """Concat-and-chunk sequence packing: where does each document land
+    when the corpus is concatenated (in a deterministic order) and cut
+    into fixed ``budget``-token training sequences - the packing step
+    every LLM pretraining pipeline runs before batching.
+
+    Order inside a shard is (id-hash, doc_id) - the same RNG-free
+    md5 order the curation family uses - so assignments are
+    byte-identical across runs and cluster layouts.  A document is
+    stamped with the chunk its FIRST token falls in plus its offset
+    there; docs may straddle chunk boundaries (concat-and-chunk
+    semantics, not bin packing).
+
+    Scale shape: the running sum is windowed PER SHARD (shard = id-hash
+    % n_salt), never a global single-partition window - at 100 TB you
+    set n_salt ~ a few x cluster cores so each shard's sort is a few GB
+    and every shard packs independently (global sequence ids are
+    (shard, chunk_id) pairs).  All integer outputs; oracle is the same
+    window in ANSI SQL.
+    """
+    hv = _id_hash()
+    tok = F.size(F.split(F.col("text"), " "))
+    d = documents.select(
+        "doc_id", (hv % n_salt).cast("long").alias("shard"), tok.cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(_id_hash().asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset")
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start,
+        F.floor(start / budget).cast("long").alias("chunk_id"),
+        (start % budget).cast("long").alias("offset_in_chunk"),
+    )
+
+
+def sequence_pack_sql(budget: int = 128, n_salt: int = 8) -> str:
+    hv = "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    return f"""
+WITH d AS (
+  SELECT doc_id, {hv} % {n_salt} AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY {hv}, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start_offset
+  FROM d
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+       CAST(FLOOR(start_offset / {budget}) AS BIGINT) AS chunk_id,
+       CAST(start_offset % {budget} AS BIGINT) AS offset_in_chunk
+FROM s
+"""
+
+
+def deterministic_shuffle(documents: DataFrame, n_shards: int = 16) -> DataFrame:
+    """Global pre-training shuffle with zero RNG state: every document
+    gets a (shard, position) from md5 hashes of its id, reproducing the
+    exact same global order on any cluster, any partitioning, any rerun.
+
+    Uses a DIFFERENT hash (salted ``doc_id || '#shuffle'``) than
+    hash_split's band hash so split membership and shuffle order are
+    statistically independent.  Scale shape: one shuffle to n_shards
+    groups + a per-shard sort (each shard a bounded slice of the
+    corpus); consumers read shards in id order, rows in position order.
+    """
+    key = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#shuffle"))), 1, 8), 16, 10
+    ).cast("long")
+    d = documents.select("doc_id", key.alias("skey"))
+    w = Window.partitionBy(F.col("skey") % n_shards).orderBy(F.col("skey").asc(), F.col("doc_id").asc())
+    return d.select(
+        "doc_id",
+        (F.col("skey") % n_shards).cast("long").alias("shard"),
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )
+
+
+def deterministic_shuffle_sql(n_shards: int = 16) -> str:
+    key = "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#shuffle'), 1, 8)) AS BIGINT)"
+    return f"""
+SELECT doc_id,
+       {key} % {n_shards} AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY {key} % {n_shards}
+                               ORDER BY {key}, doc_id) - 1 AS BIGINT) AS pos
+FROM documents
+"""

@@ -403,3 +403,69 @@ SELECT d.doc_id,
        CAST(COALESCE(c.component_id, d.doc_id) = d.doc_id AS INT) AS is_canonical
 FROM documents d LEFT JOIN comp c USING (doc_id)
 """
+
+
+def decontaminate(documents: DataFrame, n: int = 5, eval_mod: int = 50) -> DataFrame:
+    """Test-set decontamination signal: per TRAIN document, how many of
+    its distinct token n-grams also appear in the held-out EVAL band
+    (the standard pretraining hygiene check - e.g. GPT-3 appendix C /
+    PaLM's 13-gram overlap filters, shrunk to n=5 for this corpus's
+    short docs).
+
+    The eval band is the deterministic id-hash band ``hash % eval_mod
+    == 0`` (~2% at the default) - the same md5 band family hash_split
+    uses, so the "benchmark" is reproducible with no side input.  Real
+    deployments swap in their benchmark suite's n-gram set; the plan
+    shape is identical.
+
+    Scale shape: the eval n-gram set is distinct-reduced then BROADCAST
+    (benchmarks are tiny next to the corpus), so the train side joins
+    map-side with no shuffle of the corpus's exploded n-grams; the only
+    wide exchanges group by doc_id.  Output covers every train doc with
+    >= n tokens; ``contam_x1000`` is the integer-scaled fraction
+    pipelines threshold on.
+    """
+    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    sh = _shingles(documents, n).withColumn("__eval", (hv % eval_mod) == 0)
+    eval_ng = sh.where(F.col("__eval")).select("shingle").distinct()
+    train = sh.where(~F.col("__eval")).select("doc_id", "shingle")
+    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    matched = (
+        train.join(F.broadcast(eval_ng), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return sizes.join(matched, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+        F.floor(F.lit(1000) * F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n_shingles"))
+        .cast("long")
+        .alias("contam_x1000"),
+    )
+
+
+def decontaminate_sql(n: int = 5, eval_mod: int = 50) -> str:
+    hv = "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {hv} % {eval_mod} = 0 AS is_eval, string_split(text, ' ') AS t
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {n}
+), sh AS (
+  SELECT DISTINCT doc_id, is_eval,
+         array_to_string(t[i.i + 1 : i.i + {n}], ' ') AS shingle
+  FROM toks, LATERAL (SELECT UNNEST(range(0, len(t) - {n} + 1)) AS i) i
+), ev AS (
+  SELECT DISTINCT shingle FROM sh WHERE is_eval
+), train AS (
+  SELECT doc_id, shingle FROM sh WHERE NOT is_eval
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN shingle IN (SELECT shingle FROM ev) THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST(FLOOR(1000.0 * SUM(CASE WHEN shingle IN (SELECT shingle FROM ev) THEN 1 ELSE 0 END)
+                  / COUNT(*)) AS BIGINT) AS contam_x1000
+FROM train
+GROUP BY doc_id
+"""

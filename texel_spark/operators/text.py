@@ -271,3 +271,75 @@ SELECT doc_id, CAST(i.i AS INT) AS gram_idx,
        substr(md5(substr(text, CAST(1 + i.i * {stride} AS INT), {k})), 1, 16) AS fingerprint
 FROM wins, LATERAL (SELECT UNNEST(range(0, n_wins)) AS i) i
 """
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style intra-document repetition signals: duplicate-token
+    fraction, most-common-token share, duplicate-bigram fraction
+    (Rae et al. 2021 "Scaling Language Models" §A.1.1 repetition
+    filters, adapted to the whitespace-token corpus shape).
+
+    Boilerplate and templated spam repeat themselves; natural prose
+    does not - pipelines drop docs above ~0.2 duplicate-line /
+    duplicate-ngram fractions.  Everything here is per-row JVM array
+    math (distinct/filter/transform inside whole-stage codegen): NO
+    shuffle, NO Python workers, so it composes with any scan at 100 TB.
+    The top-token count is O(distinct x tokens) per row - fine for
+    document-sized arrays; a corpus with mega-token rows would explode
+    to (doc_id, token) word-count form instead.
+
+    All outputs are integers (x1000 fractions) so the DuckDB oracle
+    compares bit-exactly.
+    """
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    uniq = F.array_distinct(toks)
+    n_uniq = F.size(uniq)
+    top_tok = F.array_max(F.transform(uniq, lambda u: F.size(F.filter(toks, lambda x: x == u))))
+    # sequence() with start > stop counts DOWN in Spark - guard short docs
+    bg = F.when(
+        n_tok >= 2,
+        F.transform(F.sequence(F.lit(0), n_tok - 2), lambda i: F.array_join(F.slice(toks, i + 1, 2), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bg = F.size(bg)
+    n_uniq_bg = F.size(F.array_distinct(bg))
+    return documents.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_distinct_tokens"),
+        F.floor(F.lit(1000) * (n_tok - n_uniq) / F.greatest(n_tok, F.lit(1))).cast("long").alias("dup_token_x1000"),
+        top_tok.alias("top_token_count"),
+        F.floor(F.lit(1000) * top_tok / F.greatest(n_tok, F.lit(1))).cast("long").alias("top_token_x1000"),
+        n_bg.alias("n_bigrams"),
+        n_uniq_bg.alias("n_distinct_bigrams"),
+        F.floor(F.lit(1000) * (n_bg - n_uniq_bg) / F.greatest(n_bg, F.lit(1))).cast("long").alias("dup_bigram_x1000"),
+    )
+
+
+def repetition_stats_sql() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), b AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, GREATEST(len(toks), 1)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bg
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+       CAST(FLOOR(1000 * (len(toks) - len(list_distinct(toks)))
+                  / GREATEST(len(toks), 1)) AS BIGINT) AS dup_token_x1000,
+       CAST(list_max(list_transform(list_distinct(toks),
+                                    u -> len(list_filter(toks, x -> x = u)))) AS INT)
+           AS top_token_count,
+       CAST(FLOOR(1000 * list_max(list_transform(list_distinct(toks),
+                                                 u -> len(list_filter(toks, x -> x = u))))
+                  / GREATEST(len(toks), 1)) AS BIGINT) AS top_token_x1000,
+       CAST(len(bg) AS INT) AS n_bigrams,
+       CAST(len(list_distinct(bg)) AS INT) AS n_distinct_bigrams,
+       CAST(FLOOR(1000 * (len(bg) - len(list_distinct(bg)))
+                  / GREATEST(len(bg), 1)) AS BIGINT) AS dup_bigram_x1000
+FROM b
+"""
