@@ -468,3 +468,21 @@ def test_deterministic_shuffle_is_permutation_and_stable(spark):
     per = collections.Counter(r.shard for r in a)
     for shard, n in per.items():
         assert {p for s, p in seen if s == shard} == set(range(n))
+
+
+def test_tfidf_top_terms_plan_and_values(spark):
+    """No Python stage; the N-docs scalar joins as a broadcast row; a
+    hand-checked doc's top term is its most-distinctive one."""
+    from pyspark.sql import functions as F
+
+    from texel_spark.operators.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = tfidf_top_terms(docs, k=3)
+    assert_no_python_stage(df)
+    assert_broadcast_join(df)
+    rows = df.where(F.col("doc_id") == 0).orderBy("rnk").collect()
+    assert len(rows) == 3
+    assert rows[0].score >= rows[1].score >= rows[2].score
+    # rank-1 must beat every other term of the doc on (score, term) order
+    assert rows[0].score == rows[0].tf * (1000 * docs.count() // rows[0].df)

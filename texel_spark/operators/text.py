@@ -8,7 +8,7 @@ bit-exactly (no float rounding to negotiate between engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "for", "on", "with")
 
@@ -342,4 +342,71 @@ SELECT doc_id,
        CAST(FLOOR(1000 * (len(bg) - len(list_distinct(bg)))
                   / GREATEST(len(bg), 1)) AS BIGINT) AS dup_bigram_x1000
 FROM b
+"""
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per document by an integer-exact
+    tf-idf surrogate: score = tf * floor(1000 * N / df).
+
+    The surrogate replaces log(N/df) with the linear 1000*N/df so both
+    engines compute the score in pure integer arithmetic (bit-exact
+    oracle; log's last-ulp differences would make floor() flaky at band
+    edges).  It preserves the property pipelines use the score for -
+    rare terms up, stop-words down - and keyword extraction at corpus
+    scale cares about the ranking, not the absolute value.  Ties break
+    (score desc, term asc), pinned in both engines.
+
+    Scale shape: the classic two-aggregate word-count plan - (doc,term)
+    tf with map-side combine, term df likewise, one equi-join on term
+    (AQE broadcasts it when the vocabulary is small), then a per-doc
+    window bounded by the doc's distinct-term count.  The corpus-size N
+    scalar joins as a broadcast single row, never a driver collect in
+    the plan.
+    """
+    toks = F.split(F.col("text"), " ")
+    dt = documents.select("doc_id", F.explode(toks).alias("term"))
+    tf = dt.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = dt.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = documents.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.floor(F.lit(1000) * F.col("n_docs") / F.col("df")))
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", F.col("rnk").cast("int").alias("rnk"), "term", "tf", "df", "score")
+    )
+
+
+def tfidf_top_terms_sql(k: int = 5) -> str:
+    return f"""
+WITH dt AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM dt GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM dt) GROUP BY term
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf * FLOOR(1000 * n.n_docs / df.df) AS BIGINT) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rnk,
+       term, tf, df, score
+FROM scored
+QUALIFY rnk <= {k}
 """
