@@ -486,3 +486,72 @@ def test_tfidf_top_terms_plan_and_values(spark):
     assert rows[0].score >= rows[1].score >= rows[2].score
     # rank-1 must beat every other term of the doc on (score, term) order
     assert rows[0].score == rows[0].tf * (1000 * docs.count() // rows[0].df)
+
+
+def test_streaming_repetition_stats_parity(spark, tmp_path):
+    """Stateless repetition filter emits the identical row set when the
+    corpus arrives as micro-batched files."""
+    import shutil
+
+    from texel_spark.operators.text import repetition_stats
+    from texel_spark.streaming.jobs import streaming_repetition_stats
+
+    indir = tmp_path / "docs_in"
+    indir.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", str(indir / "part-0.parquet"))
+
+    batch = spark.read.parquet(f"{SF}/documents.parquet")
+    expected = {tuple(r) for r in repetition_stats(batch).collect()}
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(indir))
+    out = streaming_repetition_stats(stream)
+    assert out.isStreaming
+    q = out.writeStream.format("memory").queryName("rep_stream").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql("SELECT * FROM rep_stream").collect()}
+        assert got == expected
+    finally:
+        q.stop()
+
+
+def test_streaming_decontaminate_parity(spark, tmp_path):
+    """Stream-static contamination check: train-band docs replayed as TWO
+    micro-batch files against the static broadcast eval n-gram set match
+    the batch decontaminate operator row-for-row."""
+    from pyspark.sql import functions as F
+
+    from texel_spark.operators.dedup import decontaminate
+    from texel_spark.streaming.jobs import eval_ngram_set, streaming_decontaminate
+
+    batch = spark.read.parquet(f"{SF}/documents.parquet")
+    expected = {tuple(r) for r in decontaminate(batch, n=3).collect()}
+    assert any(r[2] > 0 for r in expected)  # fixture carries signal
+
+    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    train = batch.where(hv % 50 != 0)
+    indir = tmp_path / "docs_in"
+    train.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(str(indir / "a"))
+    train.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(str(indir / "b"))
+    import glob
+    import shutil
+
+    for i, part in enumerate(sorted(glob.glob(str(indir / "*" / "part-*.parquet")))):
+        shutil.move(part, str(indir / f"part-{i}.parquet"))
+    shutil.rmtree(str(indir / "a"))
+    shutil.rmtree(str(indir / "b"))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    out = streaming_decontaminate(stream, eval_ngram_set(batch, n=3))
+    assert out.isStreaming
+    q = out.writeStream.format("memory").queryName("decon_stream").outputMode("update").start()
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql("SELECT * FROM decon_stream").collect()}
+        assert got == expected
+    finally:
+        q.stop()

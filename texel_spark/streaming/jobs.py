@@ -191,6 +191,62 @@ def streaming_sessionize(events_stream: DataFrame, gap_seconds: int = 30) -> Dat
     )
 
 
+def streaming_repetition_stats(docs_stream: DataFrame) -> DataFrame:
+    """Streaming twin of operators.text.repetition_stats.
+
+    The batch operator is per-row JVM array math with zero shuffle, so
+    it applies to a micro-batched document stream UNCHANGED in append
+    mode - the quality-filter front of an ingest pipeline.  Parity with
+    the batch path is set-exact (tests/test_plans_streaming.py).
+    """
+    from ..operators.text import repetition_stats
+
+    return repetition_stats(docs_stream)
+
+
+def streaming_decontaminate(
+    docs_stream: DataFrame, eval_ngrams: DataFrame, n: int = 3
+) -> DataFrame:
+    """Streaming contamination check: incoming documents against a
+    STATIC eval n-gram set (a stream-static broadcast join - the shape
+    real ingest uses, where the benchmark suite is a fixed side input).
+
+    Differs from the batch `dedup.decontaminate` only in where the eval
+    set comes from: batch derives it from a hash band of the same
+    corpus; here it is a parameter (build it once with
+    `eval_ngram_set`).  ONE streaming aggregation (joining two
+    streaming aggregates is unsupported): each exploded n-gram is
+    tagged by a broadcast left join against the eval set, then a single
+    per-doc groupBy counts total and tagged together.  Run in update
+    mode; each doc arrives in exactly one file, so every doc's row
+    finalizes in its own micro-batch.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import _shingles
+
+    tagged = _shingles(docs_stream, n).join(
+        F.broadcast(eval_ngrams.withColumn("__hit", F.lit(1))), "shingle", "left"
+    )
+    n_shared = F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        n_shared.cast("long").alias("n_shared"),
+        F.floor(F.lit(1000) * n_shared / F.count("*")).cast("long").alias("contam_x1000"),
+    )
+
+
+def eval_ngram_set(documents: DataFrame, n: int = 3, eval_mod: int = 50) -> DataFrame:
+    """The static eval-band n-gram set used by streaming_decontaminate:
+    identical band rule to the batch operator (id-hash % eval_mod == 0)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import _shingles
+
+    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    return _shingles(documents, n).where(hv % eval_mod == 0).select("shingle").distinct()
+
+
 def streaming_asof_join(
     events_stream: DataFrame, left_type: str = "error", right_type: str = "click"
 ) -> DataFrame:
