@@ -172,6 +172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": lambda s, d: similarity.cosine_topk(_t(s, d, "embeddings")),
         "ivf_cosine_topk": lambda s, d: similarity.ivf_cosine_topk(_t(s, d, "embeddings")),
         "ivf_kmeans_topk": lambda s, d: similarity.ivf_kmeans_topk(_t(s, d, "embeddings")),
+        # n_codes=64: the sf0.01 embeddings table is 500 rows; the
+        # training sample must cover the codebook
+        "pq_topk": lambda s, d: similarity.pq_topk(_t(s, d, "embeddings"), n_codes=64),
         # threshold 0.3 here: the synthetic embeddings are random (max
         # same-cell cosine ~0.43), so the oracle compares NONZERO rows;
         # the operator default stays 0.95 (real near-dup), pinned by the
@@ -289,8 +292,8 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": curation.sequence_pack_sql(),
         "deterministic_shuffle": curation.deterministic_shuffle_sql(),
         # snap_pipeline* / span_roundtrip / ivf_cosine_topk /
-        # ivf_kmeans_topk / media_* are non-SQL-expressible (custom
-        # kernels / iterative training / ANN) -> rows-only; each
+        # ivf_kmeans_topk / pq_topk / media_* are non-SQL-expressible
+        # (custom kernels / iterative training / ANN) -> rows-only; each
         # pipeline's JVM fan-out half IS oracled via its
         # snap_tile_fanout* twin above.
     }

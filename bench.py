@@ -123,6 +123,14 @@ def main() -> None:
     # trained-quantizer IVF (k-means) on the same fixture
     km_cl = {(r["query_id"], r["neighbor_id"]) for r in similarity.ivf_kmeans_topk(clustered).collect()}
     ann_recall_kmeans = round(len(exact_cl & km_cl) / max(1, len(exact_cl)), 3)
+    # PQ (compressed-domain ADC + exact refine) on the same fixture;
+    # refine=150 covers the fixture's 125-vector ADC near-tie band (see
+    # tests/test_spark_ops.py::test_pq_recall_on_clustered_data)
+    pq_cl = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.pq_topk(clustered, refine=150).collect()
+    }
+    ann_recall_pq = round(len(exact_cl & pq_cl) / max(1, len(exact_cl)), 3)
     clustered.unpersist()
 
     # realistic-cell-count IVF (VERDICT r4 item 7): k=1024 cells over a
@@ -203,6 +211,7 @@ def main() -> None:
                 "ann_recall_at_5": ann_recall,
                 "ann_recall_at_5_clustered": ann_recall_clustered,
                 "ann_recall_at_5_kmeans_clustered": ann_recall_kmeans,
+                "ann_recall_at_5_pq_clustered": ann_recall_pq,
                 "ann_largek": ann_largek,
                 "regressions": regressions,
             }

@@ -979,3 +979,85 @@ def test_curation_pipeline_every_stage_bites(spark):
         b = hv(d) % 100
         assert split == ("train" if b < 90 else "val" if b < 95 else "test")
     assert set(out) == {1, 4} | set(big_ids)
+
+
+def test_pq_recall_on_clustered_data(spark):
+    """PQ ADC shortlist + exact refine on the clustered fixture.
+
+    refine=150 here, not the default 50: the fixture plants 125-vector
+    clusters whose members all ADC-score within the quantization-error
+    band of each other, so the shortlist must cover the whole band
+    before the exact re-rank can separate it (the documented PQ
+    refinement contract; FAISS's IndexRefine k_factor plays the same
+    role).  Measured 1.0 at composition time; floor 0.9.
+    """
+    from texel_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk,
+        synth_clustered_embeddings,
+        train_pq_codebooks,
+    )
+
+    emb = synth_clustered_embeddings(spark).cache()
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb).collect()}
+    books = train_pq_codebooks(emb)
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(emb, codebooks=books, refine=150).collect()
+    }
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.9, f"PQ recall too low: {recall:.2f}"
+    emb.unpersist()
+
+
+def test_pq_topk_partitioning_independent(spark):
+    from texel_spark.operators.similarity import (
+        pq_topk,
+        synth_clustered_embeddings,
+        train_pq_codebooks,
+    )
+
+    emb = synth_clustered_embeddings(spark, n_vectors=600, n_clusters=8)
+    books = train_pq_codebooks(emb)
+    a = sorted(map(tuple, pq_topk(emb.repartition(1), codebooks=books).collect()))
+    b = sorted(map(tuple, pq_topk(emb.repartition(7), codebooks=books).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    """Codes: length m, values in [0, n_codes); training is
+    deterministic across partitionings (hash-ordered bounded sample +
+    driver-side numpy Lloyd's)."""
+    import numpy as np
+
+    from texel_spark.operators.similarity import (
+        pq_encode,
+        synth_clustered_embeddings,
+        train_pq_codebooks,
+    )
+
+    emb = synth_clustered_embeddings(spark, n_vectors=600, n_clusters=8)
+    b1 = train_pq_codebooks(emb.repartition(1), m=8, n_codes=64)
+    b7 = train_pq_codebooks(emb.repartition(7), m=8, n_codes=64)
+    assert np.array_equal(b1, b7)
+    assert b1.shape == (8, 64, 4)
+    rows = pq_encode(emb, b1).collect()
+    assert len(rows) == 600
+    for r in rows[:20]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 64 for c in r["codes"])
+
+
+def test_pq_guards(spark):
+    import pytest as _pt
+
+    from texel_spark.operators.similarity import (
+        synth_clustered_embeddings,
+        train_pq_codebooks,
+    )
+
+    emb = synth_clustered_embeddings(spark, n_vectors=100, dim=30, n_clusters=4)
+    with _pt.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(emb, m=8, n_codes=16)
+    with _pt.raises(ValueError, match="smaller than n_codes"):
+        train_pq_codebooks(emb, m=6, n_codes=256)

@@ -470,3 +470,244 @@ SELECT d.vec_id,
        CAST(COALESCE(c.component_id, d.vec_id) = d.vec_id AS INT) AS is_canonical
 FROM embeddings d LEFT JOIN comp c USING (vec_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the vector-COMPRESSION leg of the ANN family.
+# IVF (sign-bit / k-means above) cuts the SCANNED FRACTION; PQ cuts the
+# BYTES PER VECTOR (Jegou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011) - dim float32 -> m uint8 codes (e.g.
+# 32 dims x 4 B = 128 B -> 8 B, 16x), which is what lets a 100 TB
+# embedding corpus fit a cluster's memory for repeated ANN serving.
+# ---------------------------------------------------------------------------
+
+
+def _normalize_rows(mat):
+    """L2-normalize rows (zero rows pass through): PQ here targets
+    COSINE, and cosine = inner product on the unit sphere."""
+    import numpy as np
+
+    norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    return mat / np.where(norms == 0.0, 1.0, norms)
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    n_iters: int = 10,
+    train_cap: int = 20000,
+    seed: int = 7,
+):
+    """Train per-subspace PQ codebooks on a bounded deterministic sample;
+    returns a (m, n_codes, dim/m) float64 numpy array.
+
+    Scale shape: quantizer training needs only a bounded sample (the
+    standard PQ recipe trains on 10^5-10^6 vectors regardless of corpus
+    size), so the ONLY corpus pass is a TakeOrdered of the `train_cap`
+    lowest-xxhash64(vec_id, seed) rows - a deterministic,
+    partitioning-independent sample collected once to the driver
+    (train_cap x dim floats, bounded by construction; this is NOT a
+    corpus collect).  Per-subspace Lloyd's then runs in numpy on the
+    driver: init = the n_codes lowest-hash sample rows' subvectors (the
+    same seeded-reservoir convention as train_kmeans_centroids),
+    assignment ties break toward the lower code (np.argmin takes the
+    first minimum), empty codes keep their previous codeword.  Fully
+    deterministic: fixed sample order, fixed init, numpy reduction order.
+    """
+    import numpy as np
+
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    sample = (
+        emb.select("vec_id", "v", F.xxhash64("vec_id", F.lit(seed)).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(train_cap)
+        .collect()
+    )
+    if len(sample) < n_codes:
+        raise ValueError(f"training sample ({len(sample)}) smaller than n_codes={n_codes}")
+    X = _normalize_rows(np.array([r["v"] for r in sample], dtype=np.float64))
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    books = np.empty((m, n_codes, sub), dtype=np.float64)
+    for j in range(m):
+        Xs = X[:, j * sub : (j + 1) * sub]
+        cent = Xs[:n_codes].copy()
+        for _ in range(n_iters):
+            # (n, n_codes) squared L2; argmin -> first (lowest code) on ties
+            d = ((Xs * Xs).sum(axis=1, keepdims=True)
+                 - 2.0 * (Xs @ cent.T)
+                 + (cent * cent).sum(axis=1))
+            a = d.argmin(axis=1)
+            for c in range(n_codes):
+                mask = a == c
+                if mask.any():
+                    cent[c] = Xs[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(embeddings: DataFrame, codebooks) -> DataFrame:
+    """Encode every vector to its m nearest-codeword indices:
+    (vec_id, codes array<int>) - ONE narrow Arrow pass, no shuffle.
+
+    The (m, n_codes, sub) codebook tensor is broadcast once (kilobytes);
+    each Arrow batch is one reshape + m batched matmuls.  Encoding
+    quantizes the NORMALIZED vector under L2 - on the unit sphere that
+    is the cosine-optimal codeword.  Ties break toward the lower code
+    (np.argmin first-minimum), matching training.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    bc = embeddings.sparkSession.sparkContext.broadcast(np.asarray(codebooks, dtype=np.float64))
+
+    @pandas_udf("array<int>")
+    def enc(col: pd.Series) -> pd.Series:
+        books = bc.value  # (m, n_codes, sub)
+        m_, _, sub = books.shape
+        if not len(col):
+            return pd.Series([], dtype=object)
+        mat = _normalize_rows(np.array(col.tolist(), dtype=np.float64))  # (n, dim)
+        parts = mat.reshape(len(mat), m_, sub)  # (n, m, sub)
+        codes = np.empty((len(mat), m_), dtype=np.int32)
+        for j in range(m_):
+            cent = books[j]
+            d = -2.0 * (parts[:, j, :] @ cent.T) + (cent * cent).sum(axis=1)
+            codes[:, j] = d.argmin(axis=1).astype(np.int32)
+        return pd.Series(list(codes))
+
+    # same inferred-filter duplication guard as _nearest_cell_bc
+    return embeddings.select(
+        "vec_id", enc.asNondeterministic()(_as_double("embedding")).alias("codes")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 20,
+    m: int = 8,
+    n_codes: int = 256,
+    n_iters: int = 10,
+    codebooks=None,
+    refine: int = 50,
+) -> DataFrame:
+    """Approximate cosine top-k: asymmetric-distance (ADC) shortlist over
+    PQ codes, exact re-rank of the shortlist - (query_id, neighbor_id,
+    rnk), same contract as cosine_topk / ivf_*_topk; recall is measured
+    (pytest floor), not assumed.
+
+    Scale shape: the corpus is scanned as CODES (m bytes/vector, 16x
+    smaller than float32), never as raw floats.  Queries stay exact:
+    each query's subvectors take inner products with every codeword
+    once, giving a (Q, m, n_codes) lookup-table tensor built on the
+    driver (Q x m x 256 doubles - kilobytes) and broadcast; scoring a
+    corpus vector is then m table lookups + adds, no floating multiply.
+    Per-partition mapInPandas keeps a running top-(refine+1) per query
+    ACROSS its Arrow batches and emits only Q x (refine+1) candidate
+    rows per partition - O(partitions x Q x refine), independent of
+    corpus size.
+
+    ``refine`` is the standard PQ refinement step (FAISS's IndexRefine):
+    quantization error is larger than the cosine gaps BETWEEN a query's
+    true near neighbours (on clustered data, all same-cluster vectors
+    ADC-score within the error band), so pure-ADC top-k ranks the
+    shortlist poorly; re-ranking the top-``refine`` candidates with
+    exact cosine restores recall while touching only Q x refine x
+    partitions raw vectors (a broadcast semi-join against the corpus,
+    never a second scan's worth of float math).  ``refine=0`` keeps the
+    pure-ADC ranking.  Result is partitioning-independent: per-row ADC
+    scores are layout-invariant (LUT adds run in fixed subspace order),
+    and a GLOBAL window cuts the per-partition candidate union down to
+    the exact global ADC top-``refine`` before the re-rank, so a wider
+    layout's extra candidates never change the shortlist.
+    """
+    import numpy as np
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(embeddings, m=m, n_codes=n_codes, n_iters=n_iters)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m_, n_codes_, sub = books.shape
+
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    qrows = emb.where(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = _normalize_rows(np.array([r["v"] for r in qrows], dtype=np.float64))
+    qparts = qmat.reshape(len(qmat), m_, sub)  # (Q, m, sub)
+    # ADC lookup tables: luts[q, j, c] = <query_q's j-th subvector, codeword c>
+    luts = np.einsum("qjs,jcs->qjc", qparts, books)  # (Q, m, n_codes)
+    bc = embeddings.sparkSession.sparkContext.broadcast((qids, luts))
+    keep = max(k, refine) + 1  # +1 so dropping the self-match still leaves enough
+
+    def part(batches):
+        import pandas as pd
+
+        qids_, luts_ = bc.value
+        nq = len(qids_)
+        cand_scores = np.full((nq, 0), 0.0)
+        cand_ids = np.full((nq, 0), 0, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            scores = np.zeros((nq, len(ids)))
+            for j in range(luts_.shape[1]):
+                scores += luts_[:, j, codes[:, j]]
+            # per-batch top-`keep` per query, then merge with the running set
+            if len(ids) > keep:
+                idx = np.argpartition(-scores, keep - 1, axis=1)[:, :keep]
+            else:
+                idx = np.tile(np.arange(len(ids)), (nq, 1))
+            cand_scores = np.concatenate([cand_scores, np.take_along_axis(scores, idx, 1)], axis=1)
+            cand_ids = np.concatenate([cand_ids, ids[idx]], axis=1)
+            if cand_ids.shape[1] > keep:
+                idx2 = np.argpartition(-cand_scores, keep - 1, axis=1)[:, :keep]
+                cand_scores = np.take_along_axis(cand_scores, idx2, 1)
+                cand_ids = np.take_along_axis(cand_ids, idx2, 1)
+        if cand_ids.shape[1]:
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids_, cand_ids.shape[1]),
+                    "neighbor_id": cand_ids.ravel(),
+                    "score": cand_scores.ravel(),
+                }
+            )
+
+    partial = pq_encode(embeddings, books).mapInPandas(
+        part, "query_id long, neighbor_id long, score double"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    if refine > 0:
+        # global ADC shortlist: the per-partition candidate union cut to
+        # the exact global top-`refine` (ties by id) - layout-invariant
+        w_adc = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id").asc()
+        )
+        shortlist = (
+            partial.withColumn("r", F.row_number().over(w_adc))
+            .where(F.col("r") <= refine)
+        )
+        # exact re-rank: fetch raw vectors for the (tiny) shortlist via
+        # a broadcast join, rescore with true cosine
+        queries = emb.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+        )
+        cands = shortlist.select("query_id", "neighbor_id")
+        scored = (
+            F.broadcast(cands)
+            .join(emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+            .join(F.broadcast(queries), "query_id")
+        )
+        sim = _dot(F.col("q"), F.col("v")) / (
+            F.sqrt(_dot(F.col("q"), F.col("q"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+        )
+        partial = scored.withColumn("score", sim)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
+    )
