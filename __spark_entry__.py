@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": lambda s, d: dedup.fingerprint_duplicates(_t(s, d, "documents")),
         "ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_t(s, d, "documents")),
         "minhash_lsh": lambda s, d: dedup.minhash_lsh_candidates(_t(s, d, "documents")),
+        "minhash_verify": lambda s, d: dedup.minhash_verify(_t(s, d, "documents")),
         "simhash_buckets": lambda s, d: dedup.simhash_buckets(_t(s, d, "documents")),
         "near_dup_components": lambda s, d: dedup.near_dup_components(_t(s, d, "documents")),
         "hash_split": lambda s, d: curation.hash_split(_t(s, d, "documents")),
@@ -267,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_fingerprint": dedup.FINGERPRINT_DUPLICATES_SQL,
         "ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "minhash_lsh": dedup.minhash_lsh_sql(),
+        "minhash_verify": dedup.minhash_verify_sql(),
         "simhash_buckets": dedup.simhash_buckets_sql(),
         "near_dup_components": dedup.near_dup_components_sql(),
         "hash_split": curation.hash_split_sql(),

@@ -105,6 +105,7 @@ def main() -> None:
     run("source_mixture", curation.source_mixture(t("documents")))
     run("repetition_stats", text.repetition_stats(t("documents")))
     run("tfidf_top_terms", text.tfidf_top_terms(t("documents")))
+    run("minhash_verify", dedup.minhash_verify(t("documents")))
     run("decontaminate", dedup.decontaminate(t("documents"), n=3))
     run("sequence_pack", curation.sequence_pack(t("documents")))
     run("deterministic_shuffle", curation.deterministic_shuffle(t("documents")))

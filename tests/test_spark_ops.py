@@ -1061,3 +1061,31 @@ def test_pq_guards(spark):
         train_pq_codebooks(emb, m=8, n_codes=16)
     with _pt.raises(ValueError, match="smaller than n_codes"):
         train_pq_codebooks(emb, m=6, n_codes=256)
+
+
+def test_minhash_verify_estimates_jaccard(spark):
+    """The signature-estimated Jaccard of a planted near-dup pair must
+    track the TRUE shingle Jaccard (E[n_match/n_perm] = J; 128 perms ->
+    s.e. ~ sqrt(J(1-J)/128) < 0.045, assert within 0.15), an exact dup
+    must score n_match = n_perm, and the pair set at threshold 0 must
+    equal the LSH candidate set."""
+    from texel_spark.operators.dedup import minhash_lsh_candidates, minhash_verify
+
+    base = "the quick brown fox jumps over the lazy dog again and again until dawn breaks over the hill"
+    near = base.replace("dawn", "dusk")
+    far = "completely different content with no overlap whatsoever in any shingle of this text at all"
+    pdf = spark.createDataFrame(
+        [("a", base), ("b", near), ("c", far), ("d", base)], "doc_id string, text string"
+    )
+    rows = {(r["doc_a"], r["doc_b"]): (r["n_match"], r["n_perm"]) for r in minhash_verify(pdf).collect()}
+    cands = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(pdf).collect()}
+    assert set(rows) == cands
+
+    def shingles(t, n=3):
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    true_j = len(shingles(base) & shingles(near)) / len(shingles(base) | shingles(near))
+    n_match, n_perm = rows[("a", "b")]
+    assert abs(n_match / n_perm - true_j) < 0.15
+    assert rows[("a", "d")] == (128, 128)  # exact dup: all components equal

@@ -160,7 +160,20 @@ def minhash_lsh_candidates(
     linear in corpus size + bucket collisions; verify candidates with
     ngram_jaccard on the candidate set only.
     """
-    n_perm = bands * rows_per_band
+    sigs = _minhash_signatures(documents, n, bands * rows_per_band)
+    banded = _minhash_banded(sigs, bands, rows_per_band)
+    a_ = banded.alias("a")
+    b_ = banded.alias("b")
+    return (
+        a_.join(b_, ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _minhash_signatures(documents: DataFrame, n: int, n_perm: int) -> DataFrame:
+    """(doc_id, sig array<long>) - the shared signature stage."""
     a, b = _minhash_perms(n_perm)
     toks = F.split(F.col("text"), " ")
     sh = F.array_distinct(
@@ -180,11 +193,15 @@ def minhash_lsh_candidates(
         F.min((F.lit(a[i]) * F.col("h") + F.lit(b[i])) % F.lit(_MINHASH_P)).alias(f"m{i}")
         for i in range(n_perm)
     ]
-    sigs = (
+    return (
         hrows.groupBy("doc_id")
         .agg(*mins)
         .select("doc_id", F.array(*[f"m{i}" for i in range(n_perm)]).alias("sig"))
     )
+
+
+def _minhash_banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band, bucket) LSH band buckets from signatures."""
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -197,6 +214,83 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    return banded
+
+
+def minhash_verify(
+    documents: DataFrame,
+    n: int = 3,
+    bands: int = 32,
+    rows_per_band: int = 4,
+    threshold_num: int = 0,
+    threshold_den: int = 1,
+) -> DataFrame:
+    """Signature-estimated Jaccard for every LSH candidate pair -
+    (doc_a, doc_b, n_match, n_perm): the VERIFICATION stage of the
+    MinHash dedup recipe.  E[n_match / n_perm] = Jaccard(A, B), so
+    candidates are confirmed or rejected from the signatures alone,
+    never re-reading the text or re-shingling - the property that makes
+    verification affordable at 10^12 docs (the text never enters the
+    join; each side of the candidate join carries one 128-long array).
+
+    Keeps pairs with den * n_match >= num * n_perm (integer-exact; the
+    default 0/1 keeps all candidates so the estimate itself is the
+    output).  All columns are integers -> the DuckDB oracle compares
+    hash-exactly (same md5+affine signature construction as
+    minhash_lsh_candidates).
+    """
+    n_perm = bands * rows_per_band
+    sigs = _minhash_signatures(documents, n, n_perm)
+    pairs = _pairs_from_banded(_minhash_banded(sigs, bands, rows_per_band))
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    n_match = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_match", n_match)
+        .where(F.lit(threshold_den) * F.col("n_match") >= F.lit(threshold_num) * F.lit(n_perm))
+        .select("doc_a", "doc_b", "n_match", F.lit(n_perm).alias("n_perm"))
+    )
+
+
+def minhash_verify_sql(
+    n: int = 3,
+    bands: int = 32,
+    rows_per_band: int = 4,
+    threshold_num: int = 0,
+    threshold_den: int = 1,
+) -> str:
+    """DuckDB twin of minhash_verify (bit-exact signatures + positional
+    match count)."""
+    n_perm = bands * rows_per_band
+    inner = minhash_lsh_sql(n, bands, rows_per_band)
+    body = inner[inner.index("WITH") + 4 :]  # reuse the CTE chain, swap the SELECT
+    ctes = body[: body.rindex("SELECT DISTINCT")].rstrip()
+    return f"""
+WITH {ctes},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(len(list_filter(range(1, {n_perm} + 1),
+                            i -> sa.s[CAST(i AS INT)] = sb.s[CAST(i AS INT)])) AS INT)
+         AS n_match,
+       {n_perm} AS n_perm
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b
+WHERE {threshold_den} * len(list_filter(range(1, {n_perm} + 1),
+                            i -> sa.s[CAST(i AS INT)] = sb.s[CAST(i AS INT)]))
+      >= {threshold_num} * {n_perm}
+"""
+
+
+def _pairs_from_banded(banded: DataFrame) -> DataFrame:
     a_ = banded.alias("a")
     b_ = banded.alias("b")
     return (
