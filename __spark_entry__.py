@@ -201,6 +201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture": lambda s, d: curation.source_mixture(_t(s, d, "documents")),
         "repetition_stats": lambda s, d: text.repetition_stats(_t(s, d, "documents")),
         "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(_t(s, d, "documents")),
+        "unigram_quality": lambda s, d: text.unigram_quality(_t(s, d, "documents")),
+        "bm25_topk": lambda s, d: text.bm25_topk(_t(s, d, "documents")),
         # n=3 here: at n=5 the synthetic corpus shares zero cross-band
         # shingles and the oracle would compare an all-zero column
         "decontaminate": lambda s, d: dedup.decontaminate(_t(s, d, "documents"), n=3),
@@ -290,6 +292,8 @@ def oracle_sql() -> dict[str, str]:
         "source_mixture": curation.source_mixture_sql(),
         "repetition_stats": text.repetition_stats_sql(),
         "tfidf_top_terms": text.tfidf_top_terms_sql(),
+        "unigram_quality": text.unigram_quality_sql(),
+        "bm25_topk": text.bm25_topk_sql(),
         "decontaminate": dedup.decontaminate_sql(n=3),
         "sequence_pack": curation.sequence_pack_sql(),
         "deterministic_shuffle": curation.deterministic_shuffle_sql(),

@@ -105,6 +105,8 @@ def main() -> None:
     run("source_mixture", curation.source_mixture(t("documents")))
     run("repetition_stats", text.repetition_stats(t("documents")))
     run("tfidf_top_terms", text.tfidf_top_terms(t("documents")))
+    run("unigram_quality", text.unigram_quality(t("documents")))
+    run("bm25_topk", text.bm25_topk(t("documents")))
     run("minhash_verify", dedup.minhash_verify(t("documents")))
     run("decontaminate", dedup.decontaminate(t("documents"), n=3))
     run("sequence_pack", curation.sequence_pack(t("documents")))

@@ -1089,3 +1089,49 @@ def test_minhash_verify_estimates_jaccard(spark):
     n_match, n_perm = rows[("a", "b")]
     assert abs(n_match / n_perm - true_j) < 0.15
     assert rows[("a", "d")] == (128, 128)  # exact dup: all components equal
+
+
+def test_unigram_quality_orders_gibberish_below_prose(spark):
+    """Rare-token gibberish must score below ordinary prose, and an
+    all-stopword doc above it - the ordering the LM-quality filter
+    thresholds on."""
+    from texel_spark.operators.text import unigram_quality
+
+    pdf = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "zxq pwv mkr jdt qqy lbn vvz txp wqa hzk"),
+            (2, "the the the a a of of and and in"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["score_ppm"] for r in unigram_quality(pdf).collect()}
+    assert rows[1] < rows[0] < rows[2]
+
+
+def test_bm25_prefers_high_tf_short_docs(spark):
+    """For a query term, a short doc that repeats it must outrank a long
+    doc mentioning it once (tf saturation x length normalization - the
+    two properties BM25 adds over tf-idf)."""
+    from texel_spark.operators.text import bm25_topk
+
+    filler = " ".join(f"w{i}" for i in range(60))
+    pdf = spark.createDataFrame(
+        [
+            (0, "apple apple apple pie"),
+            (1, filler + " apple"),
+            (2, "banana " + " ".join(f"x{i}" for i in range(10))),
+            # enough distinct common terms so the skip_top window can
+            # land on 'apple' deterministically
+        ]
+        + [(10 + i, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9 apple") for i in range(4)],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(pdf, k=10, n_q=3, skip_top=0).collect()
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append((r["rnk"], r["doc_id"], r["score"]))
+    # 'apple' is frequent enough to be a query term at skip_top=0
+    assert "apple" in by_term
+    ranked = [doc for _, doc, _ in sorted(by_term["apple"])]
+    assert ranked.index(0) < ranked.index(1)

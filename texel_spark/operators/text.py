@@ -410,3 +410,169 @@ SELECT doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, 
 FROM scored
 QUALIFY rnk <= {k}
 """
+
+
+def unigram_quality(documents: DataFrame) -> DataFrame:
+    """Per-document unigram-LM quality score - the integer-exact
+    surrogate of the KenLM-perplexity filter every web-corpus pipeline
+    runs (CCNet / RefinedWeb keep docs whose LM score is 'ordinary',
+    drop gibberish and keyword stuffing).
+
+    A true LM scores mean log P(token); this surrogate scores the mean
+    corpus frequency in parts-per-million of corpus tokens:
+    score_ppm = (1_000_000 * sum_t cnt(t)) DIV (n_tokens * total_tokens)
+    - all BIGINT multiplies and one floor division, bit-exact across
+    engines (log's float ulps would flake the oracle; rank order, which
+    the filter thresholds on, is preserved: gibberish tokens have
+    cnt ~ 1 -> score ~ 0, all-stopword spam scores high, ordinary prose
+    sits in a middle band).
+
+    Scale shape: the unigram table is one map-side-combined word count;
+    per-doc scoring joins the exploded tokens back on term (AQE
+    broadcasts small vocabularies) and re-aggregates by doc - two
+    aggregates + one equi-join, the same plan family as tfidf_top_terms.
+    The corpus-total scalar joins as a broadcast single row.
+    """
+    toks = F.split(F.col("text"), " ")
+    dt = documents.select("doc_id", F.explode(toks).alias("term"))
+    cnt = dt.groupBy("term").agg(F.count("*").alias("cnt"))
+    totals = dt.agg(F.count("*").alias("total_tokens"))
+    per_doc = (
+        dt.join(cnt, "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("cnt").alias("sum_cnt"))
+    )
+    return (
+        per_doc.join(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_cnt",
+            # `div` = integral division on BIGINT in both engines (`//`
+            # in DuckDB): exact, no float quotient near band edges
+            F.expr("(1000000 * sum_cnt) div (n_tokens * total_tokens)")
+            .cast("long")
+            .alias("score_ppm"),
+        )
+    )
+
+
+def unigram_quality_sql() -> str:
+    return """
+WITH dt AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+), cnt AS (
+  SELECT term, COUNT(*) AS cnt FROM dt GROUP BY term
+), tot AS (
+  SELECT COUNT(*) AS total_tokens FROM dt
+), per_doc AS (
+  SELECT dt.doc_id, COUNT(*) AS n_tokens, SUM(cnt.cnt) AS sum_cnt
+  FROM dt JOIN cnt USING (term) GROUP BY dt.doc_id
+)
+SELECT doc_id, n_tokens, sum_cnt,
+       CAST((1000000 * sum_cnt) // (n_tokens * total_tokens) AS BIGINT) AS score_ppm
+FROM per_doc CROSS JOIN tot
+"""
+
+
+def bm25_topk(documents: DataFrame, k: int = 10, n_q: int = 5, skip_top: int = 10) -> DataFrame:
+    """BM25 retrieval: top-k documents per query term, integer-exact.
+
+    Query terms are selected IN-PLAN (no side channel): the ``n_q``
+    terms ranked ``skip_top+1 .. skip_top+n_q`` by corpus occurrence
+    count (ties by term) - skipping the head approximates dropping
+    stop-words, and the selection is deterministic + SQL-expressible so
+    the whole operator carries a hash-exact DuckDB oracle.
+
+    Scoring is BM25 with k1 = 6/5, b = 3/4 cleared of floats: with
+    T = total corpus tokens and N = docs (so avgdl = T/N),
+      tf_comp = 22*tf*T / (10*T*tf + 3*T + 9*dl*N)
+    is BM25's saturated-tf term exactly, and idf is the same linear
+    surrogate tfidf_top_terms documents ((1000*N) div df; log's float
+    ulps would flake the oracle).  score = (idf * 22*tf*T) div
+    (10*T*tf + 3*T + 9*dl*N) - BIGINT throughout (magnitudes bounded:
+    idf<=1000N, and the numerator stays < 2^63 until N*T ~ 2.6e12,
+    i.e. far beyond any single-query working set; shard scores per
+    partition before that).
+
+    Scale shape: the classic inverted-index probe - (doc,term) tf and
+    per-doc length from one exploded pass (map-side combined), the tiny
+    query-term set broadcast into the tf table (equi-join on term cuts
+    the corpus to the terms' posting lists), one window per query term
+    bounded by that term's df.
+    """
+    toks = F.split(F.col("text"), " ")
+    dt = documents.select("doc_id", F.explode(toks).alias("term"))
+    tf = dt.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = dt.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    df_ = dt.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    cnt = dt.groupBy("term").agg(F.count("*").alias("cnt"))
+    totals = dt.agg(F.count("*").alias("t_tot")).crossJoin(
+        documents.agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    wq = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    qterms = (
+        cnt.withColumn("r", F.row_number().over(wq))
+        .where((F.col("r") > skip_top) & (F.col("r") <= skip_top + n_q))
+        .select("term")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(df_, "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(totals))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+            F.expr(
+                "((1000 * n_docs div df) * 22 * tf * t_tot)"
+                " div (10 * t_tot * tf + 3 * t_tot + 9 * dl * n_docs)"
+            )
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("term", F.col("rnk").cast("int").alias("rnk"), "doc_id", "tf", "dl", "score")
+    )
+
+
+def bm25_topk_sql(k: int = 10, n_q: int = 5, skip_top: int = 10) -> str:
+    return f"""
+WITH dt AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM dt GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM dt GROUP BY doc_id
+), df AS (
+  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM dt) GROUP BY term
+), cnt AS (
+  SELECT term, COUNT(*) AS cnt FROM dt GROUP BY term
+), tot AS (
+  SELECT (SELECT COUNT(*) FROM dt) AS t_tot,
+         (SELECT COUNT(DISTINCT doc_id) FROM documents) AS n_docs
+), qterms AS (
+  SELECT term FROM (
+    SELECT term, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS r FROM cnt
+  ) WHERE r > {skip_top} AND r <= {skip_top + n_q}
+), scored AS (
+  SELECT tf.term, tf.doc_id, tf.tf, dl.dl,
+         CAST(((1000 * n_docs // df) * 22 * tf * t_tot)
+              // (10 * t_tot * tf + 3 * t_tot + 9 * dl * n_docs) AS BIGINT) AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN tot
+)
+SELECT term, CAST(ROW_NUMBER() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS INT) AS rnk,
+       doc_id, tf, dl, score
+FROM scored
+QUALIFY rnk <= {k}
+"""
