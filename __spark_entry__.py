@@ -176,6 +176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # n_codes=64: the sf0.01 embeddings table is 500 rows; the
         # training sample must cover the codebook
         "pq_topk": lambda s, d: similarity.pq_topk(_t(s, d, "embeddings"), n_codes=64),
+        "ivf_pq_topk": lambda s, d: similarity.ivf_pq_topk(
+            _t(s, d, "embeddings"), n_codes=64, nprobe=4
+        ),
         # threshold 0.3 here: the synthetic embeddings are random (max
         # same-cell cosine ~0.43), so the oracle compares NONZERO rows;
         # the operator default stays 0.95 (real near-dup), pinned by the

@@ -1135,3 +1135,50 @@ def test_bm25_prefers_high_tf_short_docs(spark):
     assert "apple" in by_term
     ranked = [doc for _, doc, _ in sorted(by_term["apple"])]
     assert ranked.index(0) < ranked.index(1)
+
+
+def test_ivf_pq_recall_and_layout_invariance(spark):
+    """IVFPQ composition: nprobe=4 of 16 trained cells x ADC codes x
+    exact refine.  On the planted-cluster fixture the probed cells
+    contain the true neighbours, so recall tracks the PQ path's
+    (floor 0.9 at refine=150, same band rationale as
+    test_pq_recall_on_clustered_data); and the result must not move
+    with the corpus layout."""
+    from texel_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+        synth_clustered_embeddings,
+        train_kmeans_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = synth_clustered_embeddings(spark).cache()
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb).collect()}
+    cents = train_kmeans_centroids(emb, n_cells=16, n_iters=3)
+    books = train_pq_codebooks(emb)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_topk(
+            emb, centroids=cents, codebooks=books, nprobe=4, refine=150
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"IVFPQ recall too low: {recall:.2f}"
+    a = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                emb.repartition(1), centroids=cents, codebooks=books, nprobe=4, refine=150
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                emb.repartition(7), centroids=cents, codebooks=books, nprobe=4, refine=150
+            ).collect(),
+        )
+    )
+    assert a == b
+    emb.unpersist()

@@ -630,15 +630,9 @@ def pq_topk(
     if codebooks is None:
         codebooks = train_pq_codebooks(embeddings, m=m, n_codes=n_codes, n_iters=n_iters)
     books = np.asarray(codebooks, dtype=np.float64)
-    m_, n_codes_, sub = books.shape
 
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    qrows = emb.where(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
-    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qmat = _normalize_rows(np.array([r["v"] for r in qrows], dtype=np.float64))
-    qparts = qmat.reshape(len(qmat), m_, sub)  # (Q, m, sub)
-    # ADC lookup tables: luts[q, j, c] = <query_q's j-th subvector, codeword c>
-    luts = np.einsum("qjs,jcs->qjc", qparts, books)  # (Q, m, n_codes)
+    qids, luts = _query_luts(emb, books, n_queries)
     bc = embeddings.sparkSession.sparkContext.broadcast((qids, luts))
     keep = max(k, refine) + 1  # +1 so dropping the self-match still leaves enough
 
@@ -680,6 +674,25 @@ def pq_topk(
     partial = pq_encode(embeddings, books).mapInPandas(
         part, "query_id long, neighbor_id long, score double"
     ).where(F.col("query_id") != F.col("neighbor_id"))
+    return _adc_rerank(partial, emb, n_queries, k, refine)
+
+
+def _query_luts(emb: DataFrame, books, n_queries: int):
+    """(qids, luts): ADC lookup tables luts[q, j, c] = <query_q's j-th
+    subvector, codeword c> for the collected (tiny) query set."""
+    import numpy as np
+
+    m_, _, sub = books.shape
+    qrows = emb.where(F.col("vec_id") < n_queries).orderBy("vec_id").collect()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = _normalize_rows(np.array([r["v"] for r in qrows], dtype=np.float64))
+    qparts = qmat.reshape(len(qmat), m_, sub)  # (Q, m, sub)
+    return qids, np.einsum("qjs,jcs->qjc", qparts, books)  # (Q, m, n_codes)
+
+
+def _adc_rerank(partial: DataFrame, emb: DataFrame, n_queries: int, k: int, refine: int) -> DataFrame:
+    """Shared PQ tail: global ADC shortlist window, exact-cosine re-rank
+    of the shortlist via broadcast joins, final top-k."""
     if refine > 0:
         # global ADC shortlist: the per-partition candidate union cut to
         # the exact global top-`refine` (ties by id) - layout-invariant
@@ -711,3 +724,81 @@ def pq_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk")
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 20,
+    n_cells: int = 16,
+    n_iters: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codes: int = 256,
+    pq_iters: int = 10,
+    centroids: list[list[float]] | None = None,
+    codebooks=None,
+    refine: int = 50,
+) -> DataFrame:
+    """IVF x PQ (the FAISS IVFPQ composition, by_residual=False): the
+    trained coarse quantizer bounds the SCANNED FRACTION to
+    ~nprobe/n_cells of the corpus, PQ codes bound the BYTES PER SCANNED
+    VECTOR to m (16x under float32), and the exact-refine tail restores
+    rank fidelity on the shortlist - the index layout that serves ANN
+    over corpora too big to hold as floats even sharded.
+
+    Plan shape: corpus -> ONE narrow pass producing (cell, codes) (both
+    Arrow-batched against broadcast tensors); queries probe their nprobe
+    nearest cells; the cell equi-join yields (query, neighbor, codes)
+    candidate rows whose ADC score is m LUT lookups (vectorized per
+    Arrow batch against the broadcast (Q, m, n_codes) tables); then the
+    shared global-shortlist + exact-re-rank tail.  No cross join
+    anywhere; the only corpus-sized shuffle is the cell equi-join's.
+    Layout-invariant for the same reason pq_topk is.
+    """
+    import numpy as np
+
+    if centroids is None:
+        centroids = train_kmeans_centroids(embeddings, n_cells=n_cells, n_iters=n_iters)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(embeddings, m=m, n_codes=n_codes, n_iters=pq_iters)
+    books = np.asarray(codebooks, dtype=np.float64)
+
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    corpus = pq_encode(embeddings, books).join(
+        emb.select("vec_id", _assign_cell(emb, F.col("v"), centroids).alias("cell")), "vec_id"
+    ).select(F.col("vec_id").alias("neighbor_id"), "codes", "cell")
+    queries = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            _assign_cells(emb, F.col("v"), centroids, nprobe).alias("cells"),
+        )
+        .withColumn("cell", F.explode("cells"))
+        .drop("cells")
+    )
+
+    qids, luts = _query_luts(emb, books, n_queries)
+    bc = embeddings.sparkSession.sparkContext.broadcast((qids, luts))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def adc(qcol: pd.Series, codes_col: pd.Series) -> pd.Series:
+        qids_, luts_ = bc.value
+        if not len(qcol):
+            return pd.Series(np.empty(0, dtype=np.float64))
+        qidx = np.searchsorted(qids_, qcol.to_numpy())
+        codes = np.array(codes_col.tolist(), dtype=np.int64)  # (n, m)
+        s = np.zeros(len(codes))
+        for j in range(luts_.shape[1]):
+            s += luts_[qidx, j, codes[:, j]]
+        return pd.Series(s)
+
+    partial = (
+        queries.join(corpus, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", adc.asNondeterministic()(F.col("query_id"), F.col("codes")))
+        .select("query_id", "neighbor_id", "score")
+    )
+    return _adc_rerank(partial, emb, n_queries, k, refine)
