@@ -170,6 +170,27 @@ def main() -> None:
         "search_sec": largek_search_sec,
         "recall_at_5": round(len(exact_big & km_big) / max(1, len(exact_big)), 3),
     }
+    # IVFPQ on the same corpus + coarse centroids: tracks the
+    # compressed-domain path's cost and recall at realistic cell count
+    # (bytes/vector 64 float32 -> 8 codes); refine=200 covers the
+    # fixture's per-cell ADC near-tie band at this cluster density
+    t0 = time.perf_counter()
+    books = similarity.train_pq_codebooks(big, m=8, n_codes=256)
+    pq_train_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pq_df = similarity.ivf_pq_topk(
+        big, centroids=cents, codebooks=books, nprobe=16, refine=200
+    )
+    pq_big = {(r["query_id"], r["neighbor_id"]) for r in pq_df.collect()}
+    pq_first_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pq_df.collect()
+    ann_largek["ivfpq"] = {
+        "train_sec": pq_train_sec,
+        "search_first_sec": pq_first_sec,
+        "search_sec": round(time.perf_counter() - t0, 3),
+        "recall_at_5": round(len(exact_big & pq_big) / max(1, len(exact_big)), 3),
+    }
     big.unpersist()
 
     headline = ["snap_pipeline", "pip_join", "knn_join"]

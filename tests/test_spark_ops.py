@@ -1182,3 +1182,29 @@ def test_ivf_pq_recall_and_layout_invariance(spark):
     )
     assert a == b
     emb.unpersist()
+
+
+def test_pq_plan_shape(spark):
+    """Structural plan pins for the PQ paths: exactly one Arrow encode
+    stage + one mapInPandas ADC scan (the asNondeterministic guard must
+    keep Catalyst's inferred filters from duplicating the Python
+    stages), and never a cartesian product."""
+    from texel_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_topk,
+        synth_clustered_embeddings,
+        train_kmeans_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = synth_clustered_embeddings(spark, n_vectors=400, n_clusters=8)
+    books = train_pq_codebooks(emb)
+    p = pq_topk(emb, codebooks=books)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("ArrowEvalPython") == 1 and p.count("MapInPandas") == 1
+    assert "CartesianProduct" not in p
+    cents = train_kmeans_centroids(emb, n_cells=8, n_iters=2)
+    p2 = ivf_pq_topk(emb, centroids=cents, codebooks=books)._jdf.queryExecution().executedPlan().toString()
+    # encode + ADC score = 2 Arrow stages (coarse assignment is literal
+    # JVM expressions at n_cells=8); duplication would read 3+
+    assert p2.count("ArrowEvalPython") == 2
+    assert "CartesianProduct" not in p2
