@@ -555,3 +555,42 @@ def test_streaming_decontaminate_parity(spark, tmp_path):
         assert got == expected
     finally:
         q.stop()
+
+
+def test_streaming_unigram_quality_parity(spark, tmp_path):
+    """Stream-static LM-quality scoring: the corpus replayed as TWO
+    micro-batch files against the static broadcast unigram table matches
+    the batch unigram_quality operator row-for-row."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from texel_spark.operators.text import unigram_quality
+    from texel_spark.streaming.jobs import streaming_unigram_quality, unigram_count_table
+
+    batch = spark.read.parquet(f"{SF}/documents.parquet")
+    expected = {tuple(r) for r in unigram_quality(batch).collect()}
+
+    indir = tmp_path / "docs_in"
+    batch.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(str(indir / "a"))
+    batch.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(str(indir / "b"))
+    for i, part in enumerate(sorted(glob.glob(str(indir / "*" / "part-*.parquet")))):
+        shutil.move(part, str(indir / f"part-{i}.parquet"))
+    shutil.rmtree(str(indir / "a"))
+    shutil.rmtree(str(indir / "b"))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    out = streaming_unigram_quality(stream, unigram_count_table(batch))
+    assert out.isStreaming
+    q = out.writeStream.format("memory").queryName("uq_stream").outputMode("update").start()
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql("SELECT * FROM uq_stream").collect()}
+        assert got == expected
+    finally:
+        q.stop()

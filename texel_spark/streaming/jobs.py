@@ -337,3 +337,53 @@ def streaming_view_click_join(
     return v.join(c, cond, "inner").select(
         F.col("v_user").alias("user_id"), "view_ts", "click_ts", "page", "target"
     )
+
+
+def streaming_unigram_quality(docs_stream: DataFrame, unigram_counts: DataFrame) -> DataFrame:
+    """Streaming LM-quality scoring: incoming documents scored against a
+    STATIC unigram frequency table (stream-static broadcast join - the
+    production shape: the unigram LM is trained offline on the corpus,
+    then ingest scores each new document as it arrives).
+
+    Differs from the batch `text.unigram_quality` only in where the
+    counts come from: batch derives them from the same corpus; here
+    they are a parameter (build once with `unigram_count_table`, which
+    also carries the corpus total on every row so the stream side needs
+    NO second aggregate or collect).  One streaming aggregation per doc
+    (update mode; each doc arrives in one file, so its row finalizes in
+    its own micro-batch).  Unknown tokens count 0 - a doc of
+    never-seen tokens scores 0 ppm, same as batch gives cnt-1 gibberish
+    ~0.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.col("text"), " ")
+    dt = docs_stream.select("doc_id", F.explode(toks).alias("term"))
+    tagged = dt.join(F.broadcast(unigram_counts), "term", "left")
+    sum_cnt = F.sum(F.coalesce(F.col("cnt"), F.lit(0)))
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        sum_cnt.cast("long").alias("sum_cnt"),
+        # all-unknown doc: max(total_tokens) is NULL (no joined row) ->
+        # div yields NULL -> coalesce to the 0 the docstring promises
+        F.coalesce(
+            F.expr(
+                "CAST((1000000 * sum(coalesce(cnt, 0)))"
+                " div (count(*) * max(total_tokens)) AS LONG)"
+            ),
+            F.lit(0).cast("long"),
+        ).alias("score_ppm"),
+    )
+
+
+def unigram_count_table(documents: DataFrame) -> DataFrame:
+    """The static (term, cnt, total_tokens) table streaming_unigram_quality
+    scores against: identical counts to the batch operator's corpus pass,
+    with the corpus total denormalized onto every row (a scalar join now
+    so the stream side never needs one)."""
+    from pyspark.sql import functions as F
+
+    dt = documents.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+    cnt = dt.groupBy("term").agg(F.count("*").alias("cnt"))
+    tot = dt.agg(F.count("*").alias("total_tokens"))
+    return cnt.join(F.broadcast(tot))
