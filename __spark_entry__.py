@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verify": lambda s, d: dedup.minhash_verify(_t(s, d, "documents")),
         "simhash_buckets": lambda s, d: dedup.simhash_buckets(_t(s, d, "documents")),
         "near_dup_components": lambda s, d: dedup.near_dup_components(_t(s, d, "documents")),
+        "chunk_dedup": lambda s, d: dedup.chunk_dedup(_t(s, d, "documents")),
+        "snapshot_dedup": lambda s, d: dedup.snapshot_dedup(_t(s, d, "documents")),
         "hash_split": lambda s, d: curation.hash_split(_t(s, d, "documents")),
         "per_source_cap": lambda s, d: curation.per_source_cap(_t(s, d, "documents"), cap=10),
         "curation_pipeline": lambda s, d: curation.curation_pipeline(
@@ -276,6 +278,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_verify": dedup.minhash_verify_sql(),
         "simhash_buckets": dedup.simhash_buckets_sql(),
         "near_dup_components": dedup.near_dup_components_sql(),
+        "chunk_dedup": dedup.chunk_dedup_sql(),
+        "snapshot_dedup": dedup.snapshot_dedup_sql(),
         "hash_split": curation.hash_split_sql(),
         "per_source_cap": curation.per_source_cap_sql(cap=10),
         "curation_pipeline": curation.curation_pipeline_sql(cap=10),

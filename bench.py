@@ -111,6 +111,8 @@ def main() -> None:
     run("decontaminate", dedup.decontaminate(t("documents"), n=3))
     run("sequence_pack", curation.sequence_pack(t("documents")))
     run("deterministic_shuffle", curation.deterministic_shuffle(t("documents")))
+    run("chunk_dedup", dedup.chunk_dedup(t("documents")))
+    run("snapshot_dedup", dedup.snapshot_dedup(t("documents")))
 
     # ANN quality: recall@k of the IVF path vs the exact scan (VERDICT r1
     # item 8) - a fast-but-blind ANN would otherwise look like a win

@@ -1208,3 +1208,57 @@ def test_pq_plan_shape(spark):
     # JVM expressions at n_cells=8); duplication would read 3+
     assert p2.count("ArrowEvalPython") == 2
     assert "CartesianProduct" not in p2
+
+
+def test_chunk_dedup_ownership_and_reassembly(spark):
+    from texel_spark.operators.dedup import chunk_dedup
+
+    A, B, C = "a1 a2 a3 a4", "b1 b2 b3 b4", "c1 c2 c3 c4"
+    pdf = spark.createDataFrame(
+        [
+            (1, f"{A} {B}"),                      # owns A and B -> unchanged
+            (2, f"{C} {A}"),                      # A owned by doc 1 -> only C survives
+            (3, f"{A} {A} {B}"),                  # everything owned elsewhere -> empty
+            (4, "d1 d2 d3 d4 d1 d2 d3 d4"),       # within-doc repeat: idx 1 dropped
+            (5, "e1 e2 e3 e4 e5"),                # ragged last chunk, all unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(pdf, chunk_tokens=4).collect()}
+    assert len(out) == 5
+    assert (out[1]["kept_text"], out[1]["n_chunks"], out[1]["n_kept"]) == (f"{A} {B}", 2, 2)
+    assert (out[2]["kept_text"], out[2]["n_kept"]) == (C, 1)
+    assert (out[3]["kept_text"], out[3]["n_chunks"], out[3]["n_kept"]) == ("", 3, 0)
+    assert out[4]["kept_text"] == "d1 d2 d3 d4"
+    assert (out[5]["kept_text"], out[5]["n_chunks"]) == ("e1 e2 e3 e4 e5", 2)
+    # pure JVM: no Python/Arrow eval anywhere in the physical plan
+    p = chunk_dedup(pdf, chunk_tokens=4)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in p
+
+
+def test_chunk_dedup_partitioning_invariance(spark):
+    from texel_spark.operators.dedup import chunk_dedup
+
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(40))) for i in range(60)]
+    pdf = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, chunk_dedup(pdf.repartition(1), chunk_tokens=8).collect()))
+    b = sorted(map(tuple, chunk_dedup(pdf.repartition(13), chunk_tokens=8).collect()))
+    assert a == b
+
+
+def test_snapshot_dedup_anti_join(spark):
+    from texel_spark.operators.dedup import snapshot_dedup
+
+    pdf = spark.createDataFrame(
+        [
+            (0, "old text one"),    # old snapshot (doc_id % 3 == 0)
+            (3, "old text two"),    # old snapshot
+            (1, "old text one"),    # new, dup of old -> dropped
+            (4, "old text two"),    # new, dup of old -> dropped
+            (2, "fresh text"),      # new, unseen -> kept
+            (5, "another fresh"),   # new, unseen -> kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in snapshot_dedup(pdf, old_mod=3).collect()}
+    assert kept == {2, 5}

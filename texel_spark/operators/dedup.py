@@ -563,3 +563,105 @@ SELECT doc_id,
 FROM train
 GROUP BY doc_id
 """
+
+
+def chunk_dedup(documents: DataFrame, chunk_tokens: int = 32) -> DataFrame:
+    """Passage-level exact dedup with document reassembly (the
+    RefinedWeb/CCNet-style sub-document pass: exact dedup alone misses a
+    boilerplate paragraph pasted into a million otherwise-distinct pages).
+
+    Each document is cut into fixed ``chunk_tokens``-token chunks; a
+    chunk's global owner is the lexicographically smallest
+    (doc_id, chunk_idx) holding its hash, every other occurrence is
+    dropped, and each document is re-emitted as its surviving chunks in
+    original order (first occurrence survives even for repeats WITHIN one
+    document, so self-repetition is scrubbed too).
+
+    Scale shape: the ownership shuffle carries ONLY (hash, doc_id, idx)
+    triples - never chunk text.  Surviving text is re-derived from the
+    original document row by slicing its own token array with the
+    broadcast-joined kept-index list, so the expensive column crosses the
+    wire exactly once (the final doc-keyed join), all in JVM codegen.
+    """
+    c = chunk_tokens
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.expr(f"(size(split(text, ' ')) + {c - 1}) div {c}").cast("int")
+    chunk_at = lambda i: F.array_join(F.slice(toks, i * c + 1, c), " ")  # noqa: E731
+    hashed = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), n_chunks - 1), lambda i: F.md5(chunk_at(i)))
+        ).alias("idx", "h"),
+    )
+    owners = hashed.groupBy("h").agg(F.min(F.struct("doc_id", "idx")).alias("o"))
+    kept_per_doc = (
+        owners.select(F.col("o.doc_id").alias("doc_id"), F.col("o.idx").alias("idx"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("idx")).alias("keep"))
+    )
+    keep = F.coalesce(F.col("keep"), F.expr("CAST(array() AS array<int>)"))
+    return (
+        documents.join(kept_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_chunks.alias("n_chunks"),
+            F.size(keep).alias("n_kept"),
+            F.array_join(F.transform(keep, chunk_at), " ").alias("kept_text"),
+        )
+    )
+
+
+def chunk_dedup_sql(chunk_tokens: int = 32) -> str:
+    c = chunk_tokens
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), chunks AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS idx,
+         array_to_string(t[(i*{c}+1):(i*{c}+{c})], ' ') AS chunk
+  FROM toks, UNNEST(range((len(t) + {c - 1}) // {c})) AS u(i)
+), ranked AS (
+  SELECT doc_id, idx,
+         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn
+  FROM chunks
+), kept AS (
+  SELECT doc_id, idx FROM ranked WHERE rn = 1
+)
+SELECT t.doc_id,
+       CAST((len(t.t) + {c - 1}) // {c} AS INTEGER) AS n_chunks,
+       CAST(count(k.idx) AS INTEGER) AS n_kept,
+       coalesce(string_agg(array_to_string(t.t[(k.idx*{c}+1):(k.idx*{c}+{c})], ' '),
+                           ' ' ORDER BY k.idx), '') AS kept_text
+FROM toks t LEFT JOIN kept k USING (doc_id)
+GROUP BY t.doc_id, len(t.t)
+"""
+
+
+def snapshot_dedup(documents: DataFrame, old_mod: int = 3) -> DataFrame:
+    """Incremental (cross-snapshot) dedup: keep only the NEW crawl's
+    documents whose exact content hash never appeared in the PREVIOUS
+    snapshot - the standard anti-join a continuously-ingesting corpus
+    runs per crawl instead of re-deduplicating 100 TB from scratch.
+
+    The fixture has one snapshot, so the split is simulated
+    deterministically: doc_id % ``old_mod`` == 0 plays the old crawl.
+    Scale shape: a shuffle-hash LEFT ANTI join on the content hash - both
+    sides shuffle only (hash) / (hash, doc_id), text never crosses the
+    wire, and hash keys are uniform so no skew.
+    """
+    h = F.md5("text").alias("h")
+    old = documents.where(F.col("doc_id") % old_mod == 0).select(h)
+    new = documents.where(F.col("doc_id") % old_mod != 0).select("doc_id", h)
+    return (
+        new.join(old, "h", "left_anti")
+        .select("doc_id", F.col("h").alias("text_hash"))
+    )
+
+
+def snapshot_dedup_sql(old_mod: int = 3) -> str:
+    return f"""
+SELECT doc_id, md5(text) AS text_hash
+FROM documents
+WHERE doc_id % {old_mod} <> 0
+  AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % {old_mod} = 0)
+"""
