@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_dedup": lambda s, d: dedup.snapshot_dedup(_t(s, d, "documents")),
         "hash_split": lambda s, d: curation.hash_split(_t(s, d, "documents")),
         "per_source_cap": lambda s, d: curation.per_source_cap(_t(s, d, "documents"), cap=10),
+        "quality_funnel": lambda s, d: curation.quality_funnel(_t(s, d, "documents")),
         "curation_pipeline": lambda s, d: curation.curation_pipeline(
             _t(s, d, "documents"), cap=10
         ),
@@ -282,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_dedup": dedup.snapshot_dedup_sql(),
         "hash_split": curation.hash_split_sql(),
         "per_source_cap": curation.per_source_cap_sql(cap=10),
+        "quality_funnel": curation.quality_funnel_sql(),
         "curation_pipeline": curation.curation_pipeline_sql(cap=10),
         "text_stats": text.text_stats_sql(),
         "token_counts": text.token_counts_sql(),

@@ -113,6 +113,7 @@ def main() -> None:
     run("deterministic_shuffle", curation.deterministic_shuffle(t("documents")))
     run("chunk_dedup", dedup.chunk_dedup(t("documents")))
     run("snapshot_dedup", dedup.snapshot_dedup(t("documents")))
+    run("quality_funnel", curation.quality_funnel(t("documents")))
 
     # ANN quality: recall@k of the IVF path vs the exact scan (VERDICT r1
     # item 8) - a fast-but-blind ANN would otherwise look like a win

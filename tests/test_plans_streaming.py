@@ -594,3 +594,39 @@ def test_streaming_unigram_quality_parity(spark, tmp_path):
         assert got == expected
     finally:
         q.stop()
+
+
+def test_streaming_quality_funnel_parity(spark, tmp_path):
+    """Batch/streaming twin parity for the retention funnel: the corpus
+    arrives as TWO micro-batch files, so the single global state row
+    must merge partial conditional sums across batches; the converged
+    complete-mode output equals the batch funnel exactly."""
+    from texel_spark.operators.curation import quality_funnel
+    from texel_spark.streaming.jobs import streaming_quality_funnel
+
+    batch = spark.read.parquet(f"{SF}/documents.parquet")
+    half_a = batch.where("doc_id % 2 = 0")
+    half_b = batch.where("doc_id % 2 = 1")
+    indir = tmp_path / "docs_in"
+    half_a.coalesce(1).write.parquet(str(indir / "a"))
+    half_b.coalesce(1).write.parquet(str(indir / "b"))
+
+    expected = {tuple(r) for r in quality_funnel(batch).collect()}
+
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(indir / "*"))
+    out = streaming_quality_funnel(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql("SELECT * FROM funnel_stream").collect()}
+        assert got == expected
+    finally:
+        q.stop()

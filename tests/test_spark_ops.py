@@ -1262,3 +1262,30 @@ def test_snapshot_dedup_anti_join(spark):
     )
     kept = {r["doc_id"] for r in snapshot_dedup(pdf, old_mod=3).collect()}
     assert kept == {2, 5}
+
+
+def test_quality_funnel_stagewise(spark):
+    from texel_spark.operators.curation import quality_funnel
+
+    def doc(i, toks):
+        return (i, " ".join(toks))
+
+    ok = ["the", "a"] + [f"w{i}" for i in range(58)]            # passes everything
+    short = [f"s{i}" for i in range(10)]                        # fails min_tokens
+    long_ = ["the", "a"] + [f"l{i}" for i in range(98)]         # fails max_tokens
+    nostop = [f"n{i}" for i in range(60)]                       # fails stopword_rate
+    dupy = ["the"] * 3 + ["x"] * 40 + [f"u{i}" for i in range(17)]   # fails dup_tokens
+    toppy = ["z"] * 10 + ["the", "a", "of"] + [f"v{i}" for i in range(47)]  # fails top_token
+    pdf = spark.createDataFrame(
+        [doc(1, ok), doc(2, short), doc(3, long_), doc(4, nostop), doc(5, dupy), doc(6, toppy)],
+        "doc_id long, text string",
+    )
+    out = quality_funnel(pdf)
+    rows = {r["stage"]: r["n_pass"] for r in out.collect()}
+    assert rows == {
+        "raw": 6, "min_tokens": 5, "max_tokens": 4,
+        "stopword_rate": 3, "dup_tokens": 2, "top_token": 1,
+    }
+    # funnel is monotone by construction and stays pure-JVM
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in p

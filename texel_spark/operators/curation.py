@@ -346,3 +346,103 @@ SELECT doc_id,
                                ORDER BY {key}, doc_id) - 1 AS BIGINT) AS pos
 FROM documents
 """
+
+
+def quality_funnel(
+    documents: DataFrame,
+    min_tokens: int = 50,
+    max_tokens: int = 90,
+    stop_permille: int = 30,
+    dup_permille: int = 600,
+    top_permille: int = 150,
+) -> DataFrame:
+    """Stage-by-stage retention funnel for a Gopher-style quality filter
+    chain (Rae et al. 2021 §A.1.1): every dataset paper publishes this
+    table, and at 100 TB you need it BEFORE materializing the filtered
+    corpus - a threshold that silently drops 95% of a source should be
+    caught from one report, not from a finished run.
+
+    Stages apply cumulatively (doc counted at stage k iff it passed
+    1..k): token count >= min, <= max, stopword rate, duplicate-token
+    fraction, top-token share.  All thresholds are integer permille
+    cross-multiplications (no float quotients), so the DuckDB oracle is
+    bit-exact.  Default thresholds are tuned to have per-stage signal on
+    the synthetic fixture corpus.
+
+    Scale shape: ONE pass - five conditional sums in a single global
+    aggregate (map-side partials, 6-value shuffle), then a driver-sized
+    stack() to rows.  No joins, no Python workers, no per-stage rescan.
+    """
+    from .text import STOPWORDS
+
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    uniq = F.array_distinct(toks)
+    n_uniq = F.size(uniq)
+    top_tok = F.array_max(F.transform(uniq, lambda u: F.size(F.filter(toks, lambda x: x == u))))
+    c1 = (n_tok >= min_tokens).cast("long")
+    c2 = c1 * (n_tok <= max_tokens).cast("long")
+    c3 = c2 * (n_stop * 1000 >= n_tok * stop_permille).cast("long")
+    c4 = c3 * ((n_tok - n_uniq) * 1000 <= n_tok * dup_permille).cast("long")
+    c5 = c4 * (top_tok * 1000 <= n_tok * top_permille).cast("long")
+    agg = documents.agg(
+        F.count("*").alias("n0"),
+        F.sum(c1).alias("n1"),
+        F.sum(c2).alias("n2"),
+        F.sum(c3).alias("n3"),
+        F.sum(c4).alias("n4"),
+        F.sum(c5).alias("n5"),
+    )
+    return agg.selectExpr(
+        "stack(6, 0, 'raw', n0, 1, 'min_tokens', n1, 2, 'max_tokens', n2,"
+        " 3, 'stopword_rate', n3, 4, 'dup_tokens', n4, 5, 'top_token', n5)"
+        " AS (stage_idx, stage, n_pass)"
+    )
+
+
+def quality_funnel_sql(
+    min_tokens: int = 50,
+    max_tokens: int = 90,
+    stop_permille: int = 30,
+    dup_permille: int = 600,
+    top_permille: int = 150,
+) -> str:
+    from .text import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT len(toks) AS n_tok,
+         len(list_filter(toks, x -> x IN ({stops}))) AS n_stop,
+         len(list_distinct(toks)) AS n_uniq,
+         list_max(list_transform(list_distinct(toks),
+                                 u -> len(list_filter(toks, x -> x = u)))) AS top_tok
+  FROM t
+), f AS (
+  SELECT CASE WHEN n_tok >= {min_tokens} THEN 1 ELSE 0 END AS c1,
+         CASE WHEN n_tok >= {min_tokens} AND n_tok <= {max_tokens} THEN 1 ELSE 0 END AS c2,
+         CASE WHEN n_tok >= {min_tokens} AND n_tok <= {max_tokens}
+               AND n_stop * 1000 >= n_tok * {stop_permille} THEN 1 ELSE 0 END AS c3,
+         CASE WHEN n_tok >= {min_tokens} AND n_tok <= {max_tokens}
+               AND n_stop * 1000 >= n_tok * {stop_permille}
+               AND (n_tok - n_uniq) * 1000 <= n_tok * {dup_permille} THEN 1 ELSE 0 END AS c4,
+         CASE WHEN n_tok >= {min_tokens} AND n_tok <= {max_tokens}
+               AND n_stop * 1000 >= n_tok * {stop_permille}
+               AND (n_tok - n_uniq) * 1000 <= n_tok * {dup_permille}
+               AND top_tok * 1000 <= n_tok * {top_permille} THEN 1 ELSE 0 END AS c5
+  FROM m
+), a AS (
+  SELECT COUNT(*) AS n0, SUM(c1) AS n1, SUM(c2) AS n2, SUM(c3) AS n3,
+         SUM(c4) AS n4, SUM(c5) AS n5
+  FROM f
+)
+SELECT 0 AS stage_idx, 'raw' AS stage, CAST(n0 AS BIGINT) AS n_pass FROM a
+UNION ALL SELECT 1, 'min_tokens', CAST(n1 AS BIGINT) FROM a
+UNION ALL SELECT 2, 'max_tokens', CAST(n2 AS BIGINT) FROM a
+UNION ALL SELECT 3, 'stopword_rate', CAST(n3 AS BIGINT) FROM a
+UNION ALL SELECT 4, 'dup_tokens', CAST(n4 AS BIGINT) FROM a
+UNION ALL SELECT 5, 'top_token', CAST(n5 AS BIGINT) FROM a
+"""

@@ -387,3 +387,22 @@ def unigram_count_table(documents: DataFrame) -> DataFrame:
     cnt = dt.groupBy("term").agg(F.count("*").alias("cnt"))
     tot = dt.agg(F.count("*").alias("total_tokens"))
     return cnt.join(F.broadcast(tot))
+
+
+def streaming_quality_funnel(docs_stream: DataFrame) -> DataFrame:
+    """Streaming twin of operators.curation.quality_funnel: the running
+    retention funnel over a document stream.
+
+    The batch operator is one global aggregate of five cumulative
+    conditional sums plus a stateless stack() to stage rows, so it runs
+    on a micro-batched stream UNCHANGED in complete mode: Spark keeps a
+    single 6-value state row (O(1) state regardless of stream length)
+    and the funnel re-emits after every landed file - the live
+    monitoring view of a filter chain during a multi-day 100 TB ingest.
+    Parity with the batch operator is asserted in
+    tests/test_plans_streaming.py with the corpus split across
+    micro-batch files, so partial sums MUST merge across batches.
+    """
+    from ..operators.curation import quality_funnel
+
+    return quality_funnel(docs_stream)
