@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize": lambda s, d: sq.rasterize(_t(s, d, "nation")),
         "vectorize_raster": lambda s, d: sq.vectorize_raster(_t(s, d, "nation")),
         "topk_per_tile": lambda s, d: sq.topk_per_tile(_t(s, d, "events")),
+        "tile_pyramid_rollup": lambda s, d: sq.tile_pyramid_rollup(_t(s, d, "events")),
         "hilbert_tile_assign": _hilbert_tile_assign,
         # flagship kernel pipeline (oracle = reference golden tests)
         "snap_pipeline": snap_pipeline,
@@ -209,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(_t(s, d, "documents")),
         "unigram_quality": lambda s, d: text.unigram_quality(_t(s, d, "documents")),
         "bm25_topk": lambda s, d: text.bm25_topk(_t(s, d, "documents")),
+        "vocab_coverage": lambda s, d: text.vocab_coverage(_t(s, d, "documents")),
         # n=3 here: at n=5 the synthetic corpus shares zero cross-band
         # shingles and the oracle would compare an all-zero column
         "decontaminate": lambda s, d: dedup.decontaminate(_t(s, d, "documents"), n=3),
@@ -272,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "rasterize": sq.rasterize_sql(),
         "vectorize_raster": sq.vectorize_raster_sql(),
         "topk_per_tile": sq.topk_per_tile_sql(),
+        "tile_pyramid_rollup": sq.tile_pyramid_rollup_sql(),
         "dedup_exact": dedup.EXACT_DUPLICATES_SQL,
         "dedup_fingerprint": dedup.FINGERPRINT_DUPLICATES_SQL,
         "ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
@@ -303,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": text.tfidf_top_terms_sql(),
         "unigram_quality": text.unigram_quality_sql(),
         "bm25_topk": text.bm25_topk_sql(),
+        "vocab_coverage": text.vocab_coverage_sql(),
         "decontaminate": dedup.decontaminate_sql(n=3),
         "sequence_pack": curation.sequence_pack_sql(),
         "deterministic_shuffle": curation.deterministic_shuffle_sql(),

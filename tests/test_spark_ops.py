@@ -1289,3 +1289,41 @@ def test_quality_funnel_stagewise(spark):
     # funnel is monotone by construction and stays pure-JVM
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in p
+
+
+def test_tile_pyramid_rollup_consistency(spark):
+    from texel_spark.operators import spatial_queries as sq
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = sq.tile_pyramid_rollup(events, max_zoom=6, min_zoom=0).collect()
+    by_zoom = {}
+    for r in out:
+        by_zoom.setdefault(r["zoom"], {})[(r["tx"], r["ty"])] = r["n_points"]
+    # zoom-6 level is exactly tile_assign at zoom 6
+    direct = {(r["tx"], r["ty"]): r["n_points"] for r in sq.tile_assign(events, zoom=6).collect()}
+    assert by_zoom[6] == direct
+    # every parent's count equals the sum of its (<=4) children
+    for z in range(0, 6):
+        children = by_zoom[z + 1]
+        rolled = {}
+        for (tx, ty), n in children.items():
+            key = (tx >> 1, ty >> 1)
+            rolled[key] = rolled.get(key, 0) + n
+        assert by_zoom[z] == rolled
+    # the root carries every point once
+    assert sum(by_zoom[0].values()) == sum(by_zoom[6].values())
+
+
+def test_vocab_coverage_ranking_and_ties(spark):
+    from texel_spark.operators.text import vocab_coverage
+
+    pdf = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a a b c c d")], "doc_id long, text string"
+    )
+    rows = {r["vocab_size"]: r for r in vocab_coverage(pdf, sizes=(1, 2, 3, 10)).collect()}
+    assert rows[1]["covered_tokens"] == 5 and rows[1]["coverage_x1000"] == 416
+    # b/c tie on count=3 resolves by token ASC: V=2 adds b, not c
+    assert rows[2]["covered_tokens"] == 8 and rows[2]["coverage_x1000"] == 666
+    assert rows[3]["covered_tokens"] == 11
+    assert rows[10]["n_types"] == 4 and rows[10]["coverage_x1000"] == 1000
+    assert rows[10]["covered_tokens"] == rows[10]["total_tokens"] == 12

@@ -654,3 +654,62 @@ def knn_join_grid(
     q0.unpersist()
     c.unpersist()
     return out
+
+
+def tile_pyramid_rollup(events: DataFrame, max_zoom: int = 8, min_zoom: int = 0) -> DataFrame:
+    """Overview-tile pyramid: per-tile point counts at ``max_zoom``
+    rolled up to every coarser zoom, in ONE aggregation.
+
+    The quad-tree grid halves tile counts per level (tms20.go quad-tree
+    validation: each matrix exactly doubles the previous), so the parent
+    of tile (tx, ty) at z is (tx >> 1, ty >> 1) at z-1.  Instead of
+    (max_zoom - min_zoom) successive parent-groupBys - a shuffle per
+    level, the classic overview-building antipattern at 100 TB - the
+    base assignment pre-aggregates once at max_zoom (map-side combine
+    collapses events to distinct base tiles), each base tile explodes to
+    its (max_zoom - min_zoom + 1) ancestors with per-level literal bit
+    shifts, and ONE shuffle keyed by (zoom, tx, ty) sums the pyramid.
+    Arithmetic shiftright = floor division by 2^k, correct for negative
+    (outside-grid-west/north) tile coords too.
+
+    The DuckDB oracle is deliberately STRONGER than a rollup mirror: it
+    assigns points directly at every zoom from the raw coordinates,
+    proving rollup-of-children == direct assignment (exact because each
+    level's tile size is exactly double the next: floor(p / (a * 2^k))
+    == floor(floor(p / a) / 2^k)).
+    """
+    if not 0 <= min_zoom <= max_zoom:
+        raise ValueError(f"need 0 <= min_zoom <= max_zoom, got {min_zoom}..{max_zoom}")
+    base = tile_assign(events, zoom=max_zoom)
+    ancestors = F.array(
+        *[
+            F.struct(
+                F.lit(z).alias("zoom"),
+                F.shiftright(F.col("tx"), max_zoom - z).alias("tx"),
+                F.shiftright(F.col("ty"), max_zoom - z).alias("ty"),
+            )
+            for z in range(min_zoom, max_zoom + 1)
+        ]
+    )
+    return (
+        base.select(F.explode(ancestors).alias("a"), "n_points")
+        .select("a.zoom", "a.tx", "a.ty", "n_points")
+        .groupBy("zoom", "tx", "ty")
+        .agg(F.sum("n_points").alias("n_points"))
+    )
+
+
+def tile_pyramid_rollup_sql(max_zoom: int = 8, min_zoom: int = 0) -> str:
+    level_rows = ", ".join(
+        f"({z}, {tile_size(z)!r})" for z in range(min_zoom, max_zoom + 1)
+    )
+    return f"""
+WITH pts AS ({POINTS_FROM_EVENTS_SQL}),
+lv(zoom, ts) AS (SELECT * FROM (VALUES {level_rows}))
+SELECT lv.zoom,
+       CAST(FLOOR((px - ({RD_ORIGIN_X})) / lv.ts) AS BIGINT) AS tx,
+       CAST(FLOOR(({RD_ORIGIN_Y} - py) / lv.ts) AS BIGINT) AS ty,
+       COUNT(*) AS n_points
+FROM pts CROSS JOIN lv
+GROUP BY 1, 2, 3
+"""

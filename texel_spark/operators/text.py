@@ -576,3 +576,73 @@ SELECT term, CAST(ROW_NUMBER() OVER (PARTITION BY term ORDER BY score DESC, doc_
 FROM scored
 QUALIFY rnk <= {k}
 """
+
+
+def vocab_coverage(documents: DataFrame, sizes: tuple[int, ...] = (5, 10, 20, 50)) -> DataFrame:
+    """Tokenizer-vocabulary sizing report: for each candidate vocab size
+    V, how many token occurrences the top-V types cover and the implied
+    OOV rate - the table you consult BEFORE training a tokenizer on a
+    100 TB corpus (BPE/unigram trainers take a target size; this says
+    what each target buys).
+
+    Ranking is deterministic: types ordered by (count DESC, token ASC)
+    so equal-frequency ties never flip between runs or engines; coverage
+    is an integer permille (floor), bit-exact vs the DuckDB oracle.
+
+    Scale shape: one word-count aggregate collapses the corpus to its
+    vocabulary (map-side combine; the shuffle carries one row per TYPE,
+    not per token), and only that vocabulary - millions of rows at web
+    scale, not billions - enters the global rank window.  Candidate
+    sizes explode from a literal array: no per-V rescan of anything.
+    """
+    from pyspark.sql import Window
+
+    toks = F.explode(F.split(F.col("text"), " ")).alias("token")
+    wc = documents.select(toks).groupBy("token").agg(F.count("*").alias("c"))
+    ranked = wc.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("token").asc()))
+    )
+    totals = wc.agg(
+        F.sum("c").alias("total_tokens"), F.count("*").alias("total_types")
+    )
+    per_v = (
+        ranked.select(
+            F.explode(F.array(*[F.lit(v) for v in sizes])).alias("vocab_size"), "c", "rnk"
+        )
+        .where(F.col("rnk") <= F.col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(F.count("*").alias("n_types"), F.sum("c").alias("covered_tokens"))
+    )
+    return per_v.crossJoin(F.broadcast(totals)).select(
+        "vocab_size",
+        "n_types",
+        "covered_tokens",
+        "total_tokens",
+        F.floor(F.lit(1000) * F.col("covered_tokens") / F.col("total_tokens"))
+        .cast("long")
+        .alias("coverage_x1000"),
+    )
+
+
+def vocab_coverage_sql(sizes: tuple[int, ...] = (5, 10, 20, 50)) -> str:
+    size_rows = ", ".join(f"({v})" for v in sizes)
+    return f"""
+WITH wc AS (
+  SELECT token, COUNT(*) AS c
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, token ASC) AS rnk FROM wc
+), totals AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS total_tokens, COUNT(*) AS total_types FROM wc
+), sizes(vocab_size) AS (SELECT * FROM (VALUES {size_rows}))
+SELECT s.vocab_size,
+       COUNT(*) AS n_types,
+       CAST(SUM(r.c) AS BIGINT) AS covered_tokens,
+       t.total_tokens,
+       CAST(FLOOR(1000 * SUM(r.c) / t.total_tokens) AS BIGINT) AS coverage_x1000
+FROM sizes s
+JOIN ranked r ON r.rnk <= s.vocab_size
+CROSS JOIN totals t
+GROUP BY s.vocab_size, t.total_tokens
+"""
