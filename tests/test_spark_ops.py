@@ -1327,3 +1327,46 @@ def test_vocab_coverage_ranking_and_ties(spark):
     assert rows[3]["covered_tokens"] == 11
     assert rows[10]["n_types"] == 4 and rows[10]["coverage_x1000"] == 1000
     assert rows[10]["covered_tokens"] == rows[10]["total_tokens"] == 12
+
+
+def test_tile_pyramid_rollup_plan_single_extra_shuffle(spark):
+    """The pyramid adds exactly ONE aggregation shuffle on top of the
+    base tile_assign agg - not one per zoom level (9 levels here)."""
+    from texel_spark.operators import spatial_queries as sq
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = (
+        sq.tile_pyramid_rollup(events, max_zoom=8, min_zoom=0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", p))
+    assert n_exchanges == 2, f"expected 2 shuffles (base agg + pyramid agg), got {n_exchanges}"
+    assert "EvalPython" not in p
+
+
+def test_sliding_chunks_overlap_and_offsets(spark):
+    from texel_spark.operators.text import sliding_chunks
+
+    toks = [f"t{i}" for i in range(10)]
+    pdf = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "solo")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_token"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in sliding_chunks(pdf, chunk_tokens=4, stride=3).collect()
+    )
+    # doc 1: 10 tokens, stride 3 -> starts 0,3,6,9; windows overlap by 1
+    assert rows == [
+        (1, 0, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 3, 4, "t3 t4 t5 t6"),
+        (1, 2, 6, 4, "t6 t7 t8 t9"),
+        (1, 3, 9, 1, "t9"),
+        (2, 0, 0, 1, "solo"),
+    ]
+    # every token is covered by at least one chunk; no shuffle in the plan
+    p = sliding_chunks(pdf)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "EvalPython" not in p

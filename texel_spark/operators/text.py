@@ -646,3 +646,48 @@ JOIN ranked r ON r.rnk <= s.vocab_size
 CROSS JOIN totals t
 GROUP BY s.vocab_size, t.total_tokens
 """
+
+
+def sliding_chunks(documents: DataFrame, chunk_tokens: int = 32, stride: int = 24) -> DataFrame:
+    """Overlapping-window chunking for retrieval/embedding prep: each
+    document becomes ceil-strided windows of ``chunk_tokens`` tokens
+    starting every ``stride`` tokens (stride < chunk_tokens = the
+    standard RAG overlap so no sentence is split across a boundary
+    without also appearing whole in a neighbor).
+
+    Emits (doc_id, chunk_idx, start_token, n_chunk_tokens, chunk_text)
+    - offsets kept so downstream spans map back to the source document.
+    Pure JVM array math (transform + slice inside codegen): the explode
+    is the only row-count change, there is NO shuffle at all - chunking
+    composes with the parquet scan and feeds pq_encode/cosine_topk
+    partition-locally at 100 TB.
+    """
+    if not (0 < stride and 0 < chunk_tokens):
+        raise ValueError(f"need positive stride/chunk_tokens, got {stride}/{chunk_tokens}")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    windows = F.transform(
+        F.sequence(F.lit(0), F.expr(f"(size(split(text, ' ')) - 1) div {stride}")),
+        lambda i: F.struct(
+            (i * stride).alias("start_token"),
+            F.least(F.lit(chunk_tokens), n_tok - i * stride).alias("n_chunk_tokens"),
+            F.array_join(F.slice(toks, i * stride + 1, chunk_tokens), " ").alias("chunk_text"),
+        ),
+    )
+    return documents.select(
+        "doc_id", F.posexplode(windows).alias("chunk_idx", "w")
+    ).select("doc_id", "chunk_idx", "w.start_token", "w.n_chunk_tokens", "w.chunk_text")
+
+
+def sliding_chunks_sql(chunk_tokens: int = 32, stride: int = 24) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_idx,
+       CAST(i * {stride} AS INTEGER) AS start_token,
+       CAST(LEAST({chunk_tokens}, len(toks) - i * {stride}) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(toks[(i*{stride}+1):(i*{stride}+{chunk_tokens})], ' ') AS chunk_text
+FROM t, UNNEST(range((len(toks) - 1) // {stride} + 1)) AS u(i)
+"""
