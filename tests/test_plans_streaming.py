@@ -630,3 +630,30 @@ def test_streaming_quality_funnel_parity(spark, tmp_path):
         assert got == expected
     finally:
         q.stop()
+
+
+def test_streaming_sliding_chunks_parity(spark, tmp_path):
+    """Batch/streaming twin parity for the RAG chunker: identical row
+    set when the same documents arrive as micro-batched files."""
+    import shutil
+
+    from texel_spark.operators.text import sliding_chunks
+    from texel_spark.streaming.jobs import streaming_sliding_chunks
+
+    indir = tmp_path / "docs_in"
+    indir.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", str(indir / "part-0.parquet"))
+
+    batch = spark.read.parquet(f"{SF}/documents.parquet")
+    expected = {tuple(r) for r in sliding_chunks(batch).collect()}
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(indir))
+    out = streaming_sliding_chunks(stream)
+    assert out.isStreaming
+    q = out.writeStream.format("memory").queryName("chunk_stream").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql("SELECT * FROM chunk_stream").collect()}
+        assert got == expected
+    finally:
+        q.stop()

@@ -406,3 +406,16 @@ def streaming_quality_funnel(docs_stream: DataFrame) -> DataFrame:
     from ..operators.curation import quality_funnel
 
     return quality_funnel(docs_stream)
+
+
+def streaming_sliding_chunks(docs_stream: DataFrame) -> DataFrame:
+    """Streaming twin of operators.text.sliding_chunks: stateless
+    per-row chunk fan-out (transform + slice + posexplode, no state, no
+    shuffle), so it applies to a micro-batched document stream UNCHANGED
+    in append mode - the shape of a live RAG-ingest chunker.  Parity
+    with the batch operator is asserted set-exactly in
+    tests/test_plans_streaming.py.
+    """
+    from ..operators.text import sliding_chunks
+
+    return sliding_chunks(docs_stream)
