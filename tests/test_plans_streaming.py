@@ -657,3 +657,35 @@ def test_streaming_sliding_chunks_parity(spark, tmp_path):
         assert got == expected
     finally:
         q.stop()
+
+
+def test_streaming_snapshot_dedup_parity(spark, tmp_path):
+    """Batch/streaming twin parity for cross-snapshot dedup: the new
+    crawl arrives as TWO micro-batch files and is anti-joined per batch
+    against the static previous snapshot; the union of appended batches
+    equals the batch operator exactly."""
+    from texel_spark.operators.dedup import snapshot_dedup
+    from texel_spark.streaming.jobs import streaming_snapshot_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    expected = {tuple(r) for r in snapshot_dedup(docs, old_mod=3).collect()}
+    assert expected
+
+    old = docs.where("doc_id % 3 = 0")
+    new = docs.where("doc_id % 3 <> 0")
+    indir = tmp_path / "new_in"
+    new.where("doc_id % 2 = 0").coalesce(1).write.parquet(str(indir / "a"))
+    new.where("doc_id % 2 = 1").coalesce(1).write.parquet(str(indir / "b"))
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(indir / "*"))
+    out = streaming_snapshot_dedup(stream, old)
+    assert out.isStreaming
+    q = out.writeStream.format("memory").queryName("snapdedup_stream").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql("SELECT * FROM snapdedup_stream").collect()}
+        assert got == expected
+    finally:
+        q.stop()

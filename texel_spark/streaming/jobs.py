@@ -419,3 +419,22 @@ def streaming_sliding_chunks(docs_stream: DataFrame) -> DataFrame:
     from ..operators.text import sliding_chunks
 
     return sliding_chunks(docs_stream)
+
+
+def streaming_snapshot_dedup(docs_stream: DataFrame, old_docs: DataFrame) -> DataFrame:
+    """Streaming twin of operators.dedup.snapshot_dedup: a LIVE crawl
+    deduplicates against the previous snapshot as documents land.
+
+    Stream-static LEFT ANTI join on the content hash (append mode, no
+    state beyond the static side): each micro-batch of new documents is
+    probed against the static old-snapshot hash table and only unseen
+    content is emitted - the continuously-ingesting form of the batch
+    anti-join, with the same output schema.  The static side carries
+    hashes only (text never enters the join), so at 10^12 docs the probe
+    side is a hash-keyed lookup, not a corpus scan per batch.  Parity
+    with the batch operator is asserted in tests/test_plans_streaming.py
+    with the new crawl split across micro-batch files.
+    """
+    old = old_docs.select(F.md5("text").alias("h"))
+    new = docs_stream.select("doc_id", F.md5("text").alias("h"))
+    return new.join(old, "h", "left_anti").select("doc_id", F.col("h").alias("text_hash"))
