@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": lambda s, d: text.bm25_topk(_t(s, d, "documents")),
         "vocab_coverage": lambda s, d: text.vocab_coverage(_t(s, d, "documents")),
         "sliding_chunks": lambda s, d: text.sliding_chunks(_t(s, d, "documents")),
+        "langid_ngram": lambda s, d: text.langid_ngram(_t(s, d, "documents")),
         # n=3 here: at n=5 the synthetic corpus shares zero cross-band
         # shingles and the oracle would compare an all-zero column
         "decontaminate": lambda s, d: dedup.decontaminate(_t(s, d, "documents"), n=3),
@@ -309,6 +310,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": text.bm25_topk_sql(),
         "vocab_coverage": text.vocab_coverage_sql(),
         "sliding_chunks": text.sliding_chunks_sql(),
+        "langid_ngram": text.langid_ngram_sql(),
         "decontaminate": dedup.decontaminate_sql(n=3),
         "sequence_pack": curation.sequence_pack_sql(),
         "deterministic_shuffle": curation.deterministic_shuffle_sql(),

@@ -1370,3 +1370,29 @@ def test_sliding_chunks_overlap_and_offsets(spark):
     # every token is covered by at least one chunk; no shuffle in the plan
     p = sliding_chunks(pdf)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "EvalPython" not in p
+
+
+def test_langid_ngram_recovers_planted_languages(spark):
+    """Trigram profiles trained on a labeled seed recover the language
+    of UNSEEN documents with disjoint character distributions, and a
+    document with no profile hits falls back to 'und'."""
+    from texel_spark.operators.text import langid_ngram
+
+    aa = ["abra cadabra abraca", "braca dabra abrac", "cadab raabr acada"]
+    zz = ["zyx wxyz zyxw", "xyzz wzyx yzwx", "zwxy xzyw wyxz"]
+    seed = spark.createDataFrame(
+        [(i, t, "aa") for i, t in enumerate(aa)]
+        + [(10 + i, t, "zz") for i, t in enumerate(zz)],
+        "doc_id long, text string, lang string",
+    )
+    unseen = spark.createDataFrame(
+        [(100, "abracadabra abra"), (101, "zyxwzyx wxyz"), (102, "q")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in langid_ngram(unseen, labeled=seed, top_k=20).collect()}
+    assert out[100]["pred_lang"] == "aa" and out[100]["score"] > 0
+    assert out[101]["pred_lang"] == "zz" and out[101]["score"] > 0
+    assert out[102]["pred_lang"] == "und" and out[102]["score"] == 0
+    # profile join is a broadcast; corpus never shuffles for it
+    p = langid_ngram(unseen, labeled=seed)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p

@@ -691,3 +691,100 @@ SELECT doc_id,
        array_to_string(toks[(i*{stride}+1):(i*{stride}+{chunk_tokens})], ' ') AS chunk_text
 FROM t, UNNEST(range((len(toks) - 1) // {stride} + 1)) AS u(i)
 """
+
+
+def langid_ngram(
+    documents: DataFrame,
+    labeled: DataFrame | None = None,
+    top_k: int = 50,
+) -> DataFrame:
+    """Character-trigram language identification (Cavnar-Trenkle 1994
+    "N-Gram-Based Text Categorization", integer rank-weight variant):
+    per-language profiles are the top-``top_k`` trigrams of a labeled
+    seed corpus; a document scores each language by the rank weight
+    (top_k + 1 - rank) of every trigram occurrence that hits the
+    profile, and is assigned the argmax (ties -> lexicographically
+    smallest language; no hits -> 'und').
+
+    All weights are integers and every tie is ordered (trigram ASC in
+    the profile rank, language ASC in the argmax), so the DuckDB oracle
+    is hash-exact.  NOTE: the synthetic fixture's lang labels are
+    uncorrelated with its text, so on that table this measures plumbing
+    determinism; the classification signal itself is pinned in pytest on
+    a planted multilingual fixture.
+
+    Scale shape: profile training is one trigram-count aggregate (the
+    shuffle carries (lang, trigram) pairs, vocabulary-sized) + a
+    per-lang rank window over that small table; classification explodes
+    doc trigrams and BROADCAST-joins the (langs x top_k)-row profile -
+    the corpus itself shuffles once, keyed by doc_id for the score agg.
+    """
+    labeled = labeled if labeled is not None else documents
+
+    def trigrams(col: str = "text"):
+        n = F.length(F.col(col))
+        return F.when(
+            n >= 3,
+            F.transform(F.sequence(F.lit(1), n - 2), lambda i: F.col(col).substr(i, F.lit(3))),
+        ).otherwise(F.array().cast("array<string>"))
+
+    prof_counts = (
+        labeled.select("lang", F.explode(trigrams()).alias("tg"))
+        .groupBy("lang", "tg")
+        .agg(F.count("*").alias("c"))
+    )
+    w_rank = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("tg").asc())
+    profiles = (
+        prof_counts.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= top_k)
+        .select("lang", "tg", (F.lit(top_k + 1) - F.col("rnk")).alias("w"))
+    )
+    doc_tgs = documents.select("doc_id", F.explode(trigrams()).alias("tg"))
+    scores = (
+        doc_tgs.join(F.broadcast(profiles), "tg")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("w").alias("score"))
+    )
+    best = scores.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("lang").alias("lang"))).alias("b")
+    )
+    return (
+        documents.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("b.lang"), F.lit("und")).alias("pred_lang"),
+            F.coalesce(-F.col("b.ns"), F.lit(0)).cast("long").alias("score"),
+        )
+    )
+
+
+def langid_ngram_sql(top_k: int = 50) -> str:
+    return f"""
+WITH tg_doc AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS tg
+  FROM documents, UNNEST(range(1, GREATEST(len(text) - 1, 1))) AS u(i)
+), prof_counts AS (
+  SELECT d.lang, t.tg, COUNT(*) AS c
+  FROM documents d JOIN tg_doc t USING (doc_id)
+  GROUP BY d.lang, t.tg
+), profiles AS (
+  SELECT lang, tg, {top_k} + 1 - rnk AS w
+  FROM (SELECT lang, tg, c,
+               row_number() OVER (PARTITION BY lang ORDER BY c DESC, tg ASC) AS rnk
+        FROM prof_counts)
+  WHERE rnk <= {top_k}
+), scores AS (
+  SELECT t.doc_id, p.lang, CAST(SUM(p.w) AS BIGINT) AS score
+  FROM tg_doc t JOIN profiles p USING (tg)
+  GROUP BY t.doc_id, p.lang
+), best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT d.doc_id,
+       COALESCE(b.lang, 'und') AS pred_lang,
+       COALESCE(b.score, 0) AS score
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+"""
