@@ -1396,3 +1396,38 @@ def test_langid_ngram_recovers_planted_languages(spark):
     # profile join is a broadcast; corpus never shuffles for it
     p = langid_ngram(unseen, labeled=seed)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p
+
+
+def test_chunk_dedup_global_uniqueness_property(spark):
+    """Randomized corpus with heavy chunk repetition: every distinct
+    chunk of the corpus survives EXACTLY once globally, survivors
+    reassemble in original order, and counts are consistent."""
+    import numpy as np
+
+    from texel_spark.operators.dedup import chunk_dedup
+
+    rng = np.random.default_rng(7)
+    c = 8
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> many repeated chunks
+    docs = []
+    for i in range(80):
+        n = int(rng.integers(1, 41))
+        docs.append((i, " ".join(vocab[j] for j in rng.integers(0, len(vocab), n))))
+    pdf = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_dedup(pdf, chunk_tokens=c).collect()
+
+    expected_chunks = set()
+    for _, text in docs:
+        toks = text.split(" ")
+        for s in range(0, len(toks), c):
+            expected_chunks.add(" ".join(toks[s : s + c]))
+
+    seen = []
+    for r in out:
+        assert 0 <= r["n_kept"] <= r["n_chunks"]
+        toks = r["kept_text"].split(" ") if r["kept_text"] else []
+        got_chunks = [" ".join(toks[s : s + c]) for s in range(0, len(toks), c)]
+        assert len(got_chunks) == r["n_kept"]
+        seen.extend(got_chunks)
+    assert len(seen) == len(set(seen)), "a chunk survived twice"
+    assert set(seen) == expected_chunks, "every distinct corpus chunk survives exactly once"
