@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # multimodal plumbing (decode stubbed, schema/batch shape real)
         "media_stats": lambda s, d: multimodal.media_stats(_synth_docs(s, 400)),
+        "interleaved_text": lambda s, d: multimodal.interleaved_text(_synth_docs(s, 400)),
+        "modality_mix": lambda s, d: multimodal.modality_mix(_synth_docs(s, 400)),
         "media_features": lambda s, d: multimodal.extract_media_features(
             multimodal.media_spans(_synth_docs(s, 400))
         ).drop("embedding"),

@@ -1431,3 +1431,55 @@ def test_chunk_dedup_global_uniqueness_property(spark):
         seen.extend(got_chunks)
     assert len(seen) == len(set(seen)), "a chunk survived twice"
     assert set(seen) == expected_chunks, "every distinct corpus chunk survives exactly once"
+
+
+def test_interleaved_text_offset_order_and_bridge(spark):
+    """Text spans concatenate in OFFSET order even when the array is
+    stored shuffled, media/geom spans never leak in, and the output
+    feeds the flat-text operators directly (the interleaved bridge)."""
+    from texel_spark.operators.multimodal import interleaved_text
+    from texel_spark.operators.text import token_counts
+
+    rows = [
+        (
+            "d1",
+            [
+                ("media", None, "img://d1/0", 1),
+                ("text", "world", None, 2),
+                ("text", "hello", None, 0),
+                ("geom", "POINT (1 1)", None, 3),
+            ],
+        ),
+        ("d2", [("media", None, "vid://d2/0", 0)]),
+    ]
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    docs = spark.createDataFrame(rows, schema)
+    out = {r["doc_id"]: r for r in interleaved_text(docs).collect()}
+    assert out["d1"]["text"] == "hello world" and out["d1"]["n_text_spans"] == 2
+    assert out["d2"]["text"] == "" and out["d2"]["n_text_spans"] == 0
+    # bridge: flat-text operators accept the output unchanged
+    tc = {r["doc_id"]: r for r in token_counts(interleaved_text(docs)).collect()}
+    assert tc["d1"]["n_ws_tokens"] == 2
+    p = interleaved_text(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "EvalPython" not in p
+
+
+def test_modality_mix_counts(spark):
+    from texel_spark.operators.multimodal import modality_mix
+    from texel_spark.sources.documents import build_document, synth_documents
+
+    docs = synth_documents(spark, 60, partitions=4)
+    got = {r["doc_id"]: r for r in modality_mix(docs).collect()}
+    for i in range(60):
+        doc_id, spans = build_document(i)
+        r = got[doc_id]
+        kinds = [s[0] for s in spans]
+        assert r["n_spans"] == len(spans)
+        assert r["n_text_spans"] == kinds.count("text")
+        assert r["n_media_spans"] == kinds.count("media")
+        assert r["n_geom_spans"] == kinds.count("geom")
+        assert r["text_chars"] == sum(len(s[1]) for s in spans if s[0] == "text")
+        assert r["text_span_permille"] == 1000 * kinds.count("text") // len(spans)

@@ -249,3 +249,60 @@ def media_stats(docs: DataFrame) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum("n_bytes").alias("total_bytes"),
     )
+
+
+def interleaved_text(docs: DataFrame) -> DataFrame:
+    """Extract each interleaved document's text channel: the text spans
+    concatenated in offset order - the bridge that lets every text-side
+    operator (token_counts, langid_ngram, chunk_dedup, quality_funnel,
+    ...) run over the interleaved text+media corpus the north rule
+    describes, without the media/geometry spans ever entering those
+    plans.
+
+    Pure per-row JVM array math (filter -> (offset, text) structs ->
+    array_sort -> join): no shuffle, no Python workers, and the sort is
+    per-document (span-count-sized), so it fuses into any downstream
+    scan at 100 TB.  Offset order is applied defensively rather than
+    assuming array order (the span-sequence invariant guarantees
+    arrays arrive ordered, but a re-partitioned/re-written table keeps
+    the offsets authoritative).
+    """
+    text_spans = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text"))
+    ordered = F.array_sort(
+        F.transform(text_spans, lambda s: F.struct(s["offset"].alias("o"), s["text"].alias("t")))
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(F.transform(ordered, lambda p: p["t"]), " ").alias("text"),
+        F.size(text_spans).alias("n_text_spans"),
+    )
+
+
+def modality_mix(docs: DataFrame) -> DataFrame:
+    """Per-document modality profile of the interleaved corpus: span
+    counts per kind, text length, and the text share in permille - the
+    screen a multimodal curation pass runs FIRST (drop media-only shells
+    or text-only pages before the expensive per-modality stages).
+
+    Integer outputs only; per-row JVM expressions, no shuffle.
+    """
+    spans = F.col("spans")
+    n_text = F.size(F.filter(spans, lambda s: s["kind"] == F.lit("text")))
+    n_media = F.size(F.filter(spans, lambda s: s["kind"] == F.lit("media")))
+    n_geom = F.size(F.filter(spans, lambda s: s["kind"] == F.lit("geom")))
+    text_chars = F.aggregate(
+        F.filter(spans, lambda s: s["kind"] == F.lit("text")),
+        F.lit(0),
+        lambda acc, s: acc + F.length(s["text"]),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(spans).alias("n_spans"),
+        n_text.alias("n_text_spans"),
+        n_media.alias("n_media_spans"),
+        n_geom.alias("n_geom_spans"),
+        text_chars.alias("text_chars"),
+        F.floor(F.lit(1000) * n_text / F.greatest(F.size(spans), F.lit(1)))
+        .cast("long")
+        .alias("text_span_permille"),
+    )
