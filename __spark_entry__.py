@@ -222,8 +222,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # multimodal plumbing (decode stubbed, schema/batch shape real)
         "media_stats": lambda s, d: multimodal.media_stats(_synth_docs(s, 400)),
-        "interleaved_text": lambda s, d: multimodal.interleaved_text(_synth_docs(s, 400)),
-        "modality_mix": lambda s, d: multimodal.modality_mix(_synth_docs(s, 400)),
+        # materialized to the shared oracle scratch parquet so DuckDB
+        # verifies the interleaved bridge hash-exactly on identical rows
+        "interleaved_text": lambda s, d: multimodal.interleaved_text(
+            multimodal.materialized_interleaved(s, 400)
+        ),
+        "modality_mix": lambda s, d: multimodal.modality_mix(
+            multimodal.materialized_interleaved(s, 400)
+        ),
         "media_features": lambda s, d: multimodal.extract_media_features(
             multimodal.media_spans(_synth_docs(s, 400))
         ).drop("embedding"),
@@ -258,7 +264,7 @@ def _snap_tile_fanout_oracle_nz() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from texel_spark.operators import curation, dedup, events, temporal, text
+    from texel_spark.operators import curation, dedup, events, multimodal, temporal, text
     from texel_spark.operators import spatial_queries as sq
     from texel_spark.operators.similarity import (
         cosine_topk_sql,
@@ -270,6 +276,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_assign": sq.tile_assign_sql(),
         "hilbert_tile_assign": sq.hilbert_tile_assign_sql(),
         "snap_tile_fanout": _snap_tile_fanout_oracle(),
+        "interleaved_text": multimodal.interleaved_text_sql(),
+        "modality_mix": multimodal.modality_mix_sql(),
         "snap_tile_fanout_webmercator": _snap_tile_fanout_oracle_wm(),
         "snap_tile_fanout_nztm": _snap_tile_fanout_oracle_nz(),
         "tile_extent_agg": sq.tile_extent_agg_sql(),

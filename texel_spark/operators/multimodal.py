@@ -306,3 +306,61 @@ def modality_mix(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("text_span_permille"),
     )
+
+
+def materialized_interleaved(spark, n_docs: int = 400):
+    """Materialize the deterministic synth interleaved corpus to the
+    shared oracle scratch dir (same TEXEL_SPARK_ORACLE_SCRATCH override
+    + atexit cleanup as the snap bbox oracle) and re-read it, so a
+    DuckDB oracle can verify the interleaved bridge hash-exactly on the
+    identical rows."""
+    import os
+
+    from ..sources.documents import synth_documents
+    from .snap_tiles import BBOX_ORACLE_DIR
+
+    path = os.path.join(BBOX_ORACLE_DIR, "interleaved_docs")
+    synth_documents(spark, n_docs, partitions=8).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _interleaved_docs_ctes() -> str:
+    import os
+
+    from .snap_tiles import BBOX_ORACLE_DIR
+
+    path = os.path.join(BBOX_ORACLE_DIR, "interleaved_docs")
+    return f"""
+docs AS (SELECT * FROM read_parquet('{path}/*.parquet')),
+ex AS (
+  SELECT doc_id, u.s.kind AS kind, u.s.text AS stext, u.s."offset" AS off
+  FROM docs, UNNEST(docs.spans) AS u(s)
+)"""
+
+
+def interleaved_text_sql() -> str:
+    return f"""
+WITH {_interleaved_docs_ctes()}
+SELECT d.doc_id,
+       coalesce(string_agg(e.stext, ' ' ORDER BY e.off)
+                FILTER (WHERE e.kind = 'text'), '') AS text,
+       CAST(count(*) FILTER (WHERE e.kind = 'text') AS INTEGER) AS n_text_spans
+FROM docs d JOIN ex e USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
+def modality_mix_sql() -> str:
+    return f"""
+WITH {_interleaved_docs_ctes()}
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_spans,
+       CAST(count(*) FILTER (WHERE kind = 'text') AS INTEGER) AS n_text_spans,
+       CAST(count(*) FILTER (WHERE kind = 'media') AS INTEGER) AS n_media_spans,
+       CAST(count(*) FILTER (WHERE kind = 'geom') AS INTEGER) AS n_geom_spans,
+       CAST(coalesce(sum(len(stext)) FILTER (WHERE kind = 'text'), 0) AS INTEGER) AS text_chars,
+       CAST(FLOOR(1000 * count(*) FILTER (WHERE kind = 'text') / count(*)) AS BIGINT)
+           AS text_span_permille
+FROM ex
+GROUP BY doc_id
+"""
