@@ -221,7 +221,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         # multimodal plumbing (decode stubbed, schema/batch shape real)
-        "media_stats": lambda s, d: multimodal.media_stats(_synth_docs(s, 400)),
+        "media_stats": lambda s, d: multimodal.media_stats(
+            multimodal.materialized_interleaved(s, 400)
+        ),
         # materialized to the shared oracle scratch parquet so DuckDB
         # verifies the interleaved bridge hash-exactly on identical rows
         "interleaved_text": lambda s, d: multimodal.interleaved_text(
@@ -231,13 +233,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             multimodal.materialized_interleaved(s, 400)
         ),
         "media_features": lambda s, d: multimodal.extract_media_features(
-            multimodal.media_spans(_synth_docs(s, 400))
+            multimodal.media_spans(multimodal.materialized_interleaved(s, 400))
         ).drop("embedding"),
         "media_frame_sample": lambda s, d: multimodal.sample_frames(
-            multimodal.media_spans(_synth_docs(s, 400))
+            multimodal.media_spans(multimodal.materialized_interleaved(s, 400))
         ).drop("frame"),
         "media_resize": lambda s, d: multimodal.resize_media(
-            multimodal.media_spans(_synth_docs(s, 400)), target=64
+            multimodal.media_spans(multimodal.materialized_interleaved(s, 400)), target=64
         ).drop("pixels"),
     }
 
@@ -278,6 +280,10 @@ def oracle_sql() -> dict[str, str]:
         "snap_tile_fanout": _snap_tile_fanout_oracle(),
         "interleaved_text": multimodal.interleaved_text_sql(),
         "modality_mix": multimodal.modality_mix_sql(),
+        "media_stats": multimodal.media_stats_sql(),
+        "media_features": multimodal.media_features_sql(),
+        "media_frame_sample": multimodal.media_frame_sample_sql(),
+        "media_resize": multimodal.media_resize_sql(target=64),
         "snap_tile_fanout_webmercator": _snap_tile_fanout_oracle_wm(),
         "snap_tile_fanout_nztm": _snap_tile_fanout_oracle_nz(),
         "tile_extent_agg": sq.tile_extent_agg_sql(),

@@ -333,7 +333,8 @@ def _interleaved_docs_ctes() -> str:
     return f"""
 docs AS (SELECT * FROM read_parquet('{path}/*.parquet')),
 ex AS (
-  SELECT doc_id, u.s.kind AS kind, u.s.text AS stext, u.s."offset" AS off
+  SELECT doc_id, u.s.kind AS kind, u.s.text AS stext,
+         u.s.media_ref AS media_ref, u.s."offset" AS off
   FROM docs, UNNEST(docs.spans) AS u(s)
 )"""
 
@@ -363,4 +364,82 @@ SELECT doc_id,
            AS text_span_permille
 FROM ex
 GROUP BY doc_id
+"""
+
+
+def media_stats_sql() -> str:
+    """DuckDB oracle for media_stats over the scratch-materialized
+    corpus.  The payload stub is sha2-hex cast to binary, so its byte
+    length is the hex-string length - replicated as len(sha256(ref))."""
+    return f"""
+WITH {_interleaved_docs_ctes()}
+SELECT regexp_extract(media_ref, '^([a-z]+)://', 1) AS media_kind,
+       count(*) AS n_spans,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(SUM(len(sha256(media_ref))) AS BIGINT) AS total_bytes
+FROM ex
+WHERE kind = 'media'
+GROUP BY 1
+"""
+
+
+def _media_ex_sql() -> str:
+    """Shared media-span CTE tail: the stub payload is the UTF-8 bytes
+    of the sha256 hex string, so payload byte k == ascii(hex char k+1) -
+    which lets DuckDB replicate the Arrow stages' byte math exactly."""
+    return f"""
+{_interleaved_docs_ctes()},
+med AS (
+  SELECT doc_id, CAST(off AS INTEGER) AS span_idx, media_ref,
+         regexp_extract(media_ref, '^([a-z]+)://', 1) AS media_kind,
+         ascii(substr(sha256(media_ref), 1, 1)) AS b0,
+         ascii(substr(sha256(media_ref), 2, 1)) AS b1
+  FROM ex WHERE kind = 'media'
+)"""
+
+
+def media_features_sql() -> str:
+    """Oracle for extract_media_features minus the float embedding (the
+    registered query drops it): width/height are payload bytes 0/1 -
+    i.e. the first two sha256 hex chars' ASCII codes - mod 192 + 64."""
+    return f"""
+WITH {_media_ex_sql()}
+SELECT doc_id, span_idx, media_ref,
+       CAST(64 + b0 % 192 AS INTEGER) AS width,
+       CAST(64 + b1 % 192 AS INTEGER) AS height
+FROM med
+"""
+
+
+def media_frame_sample_sql(fps: float = 1.0, max_frames: int = 8) -> str:
+    """Oracle for sample_frames minus the binary frame column: duration
+    = 1000 + (payload 2-byte big-endian prefix) % 30000, frame count =
+    clamp(duration*fps/1000) to [1, max_frames], timestamps = idx *
+    (duration // n)."""
+    return f"""
+WITH {_media_ex_sql()},
+vid AS (
+  SELECT doc_id, span_idx, media_ref,
+         1000 + (b0 * 256 + b1) % 30000 AS dur
+  FROM med WHERE media_kind = 'vid'
+), nf AS (
+  SELECT *, LEAST({max_frames}, GREATEST(1, CAST(FLOOR(dur / 1000.0 * {fps}) AS BIGINT))) AS n
+  FROM vid
+)
+SELECT doc_id, span_idx, media_ref,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(i * (dur // n) AS BIGINT) AS ts_ms
+FROM nf, UNNEST(range(n)) AS u(i)
+"""
+
+
+def media_resize_sql(target: int = 64) -> str:
+    """Oracle for resize_media minus the pixel buffer: image spans only,
+    constant target dimensions."""
+    return f"""
+WITH {_media_ex_sql()}
+SELECT doc_id, span_idx, media_ref,
+       CAST({target} AS INTEGER) AS width,
+       CAST({target} AS INTEGER) AS height
+FROM med WHERE media_kind = 'img'
 """
