@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": lambda s, d: curation.hash_split(_t(s, d, "documents")),
         "per_source_cap": lambda s, d: curation.per_source_cap(_t(s, d, "documents"), cap=10),
         "quality_funnel": lambda s, d: curation.quality_funnel(_t(s, d, "documents")),
+        "validate_documents": lambda s, d: curation.validate_documents(_t(s, d, "documents")),
         "curation_pipeline": lambda s, d: curation.curation_pipeline(
             _t(s, d, "documents"), cap=10
         ),
@@ -305,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": curation.hash_split_sql(),
         "per_source_cap": curation.per_source_cap_sql(cap=10),
         "quality_funnel": curation.quality_funnel_sql(),
+        "validate_documents": curation.validate_documents_sql(),
         "curation_pipeline": curation.curation_pipeline_sql(cap=10),
         "text_stats": text.text_stats_sql(),
         "token_counts": text.token_counts_sql(),

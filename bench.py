@@ -118,6 +118,7 @@ def main() -> None:
     run("vocab_coverage", text.vocab_coverage(t("documents")))
     run("sliding_chunks", text.sliding_chunks(t("documents")))
     run("langid_ngram", text.langid_ngram(t("documents")))
+    run("validate_documents", curation.validate_documents(t("documents")))
 
     # ANN quality: recall@k of the IVF path vs the exact scan (VERDICT r1
     # item 8) - a fast-but-blind ANN would otherwise look like a win

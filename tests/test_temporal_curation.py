@@ -282,3 +282,25 @@ def test_run_curation_pipeline_kill_resume(spark, tmp_path):
     assert m.where("n_docs <= 0").count() == 0
     res2 = run_curation_pipeline(docs, out_dir, shard_buckets=4, cap=10)
     assert res2["resumed_noop"]
+
+
+def test_validate_documents_counts_planted_violations(spark):
+    from texel_spark.operators.curation import validate_documents
+
+    rows = [
+        (1, "good text", "en", "s", 9),
+        (1, "dup id", "en", "s", 6),          # duplicate doc_id
+        (2, "", "en", "s", 0),                # empty text
+        (3, None, "en", "s", 0),              # null text
+        (4, "x", "xx", "s", 1),               # unknown lang
+        (5, "abc", "en", "s", 99),            # n_chars mismatch
+    ]
+    pdf = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r["check"]: r["n"] for r in validate_documents(pdf).collect()}
+    assert got["rows"] == 6
+    assert got["duplicate_doc_id"] == 1
+    assert got["empty_text"] == 1
+    assert got["null_text"] == 1
+    assert got["unknown_lang"] == 1
+    assert got["n_chars_mismatch"] == 1
+    assert got["null_doc_id"] == 0

@@ -525,3 +525,56 @@ def run_curation_pipeline(
         _save()
     curated.unpersist()
     return {"shards_done": sorted(manifest["shards"]), "resumed_noop": False}
+
+
+def validate_documents(documents: DataFrame) -> DataFrame:
+    """Ingest validation gate: one row per check with its violation
+    count - the report a 100 TB ingest runs BEFORE any curation stage,
+    so a malformed crawl drop fails loudly instead of silently skewing
+    every downstream operator (null/empty text, duplicate or null ids,
+    out-of-vocabulary lang tags, byte-length disagreement with the
+    n_chars column).
+
+    Scale shape: all checks are conditional sums in ONE global
+    aggregate over a single scan (map-side partials; the duplicate-id
+    check is the only distinct and rides the same pass as
+    count(distinct)).  Integer outputs; DuckDB oracle is bit-exact.
+    """
+    known_langs = ("en", "de", "fr", "es", "zh")
+    agg = documents.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("doc_id").isNull().cast("long")).alias("null_id"),
+        (F.count("*") - F.countDistinct("doc_id")).alias("dup_id"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
+        F.sum((F.col("text") == "").cast("long")).alias("empty_text"),
+        F.sum((~F.col("lang").isin(*known_langs)).cast("long")).alias("bad_lang"),
+        F.sum((F.length("text") != F.col("n_chars")).cast("long")).alias("bad_n_chars"),
+    )
+    return agg.selectExpr(
+        "stack(7, 'rows', n_rows, 'null_doc_id', null_id, 'duplicate_doc_id', dup_id,"
+        " 'null_text', null_text, 'empty_text', empty_text, 'unknown_lang', bad_lang,"
+        " 'n_chars_mismatch', bad_n_chars) AS (check, n)"
+    )
+
+
+def validate_documents_sql() -> str:
+    langs = ", ".join(f"'{l}'" for l in ("en", "de", "fr", "es", "zh"))
+    return f"""
+WITH a AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_id,
+         COUNT(*) - COUNT(DISTINCT doc_id) AS dup_id,
+         CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+         CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
+         CAST(SUM(CASE WHEN lang NOT IN ({langs}) THEN 1 ELSE 0 END) AS BIGINT) AS bad_lang,
+         CAST(SUM(CASE WHEN len(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS bad_n_chars
+  FROM documents
+)
+SELECT 'rows' AS check, n_rows AS n FROM a
+UNION ALL SELECT 'null_doc_id', null_id FROM a
+UNION ALL SELECT 'duplicate_doc_id', dup_id FROM a
+UNION ALL SELECT 'null_text', null_text FROM a
+UNION ALL SELECT 'empty_text', empty_text FROM a
+UNION ALL SELECT 'unknown_lang', bad_lang FROM a
+UNION ALL SELECT 'n_chars_mismatch', bad_n_chars FROM a
+"""
