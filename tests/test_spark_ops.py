@@ -1483,3 +1483,27 @@ def test_modality_mix_counts(spark):
         assert r["n_geom_spans"] == kinds.count("geom")
         assert r["text_chars"] == sum(len(s[1]) for s in spans if s[0] == "text")
         assert r["text_span_permille"] == 1000 * kinds.count("text") // len(spans)
+
+
+def test_pipeline_output_hashes_pinned(spark):
+    """Regression pin for all three grid pipelines END TO END: canonical
+    md5 of the full sorted output (pure integer/string rows, proven
+    partitioning-invariant).  The RD kernel is golden-pinned ring by
+    ring and every grid's JVM fan-out half is DuckDB-oracled; this pin
+    closes the last gap - a behavior change anywhere in the composed
+    WM/NZTM pipelines (which have no reference goldens of their own)
+    now fails loudly instead of drifting silently."""
+    import hashlib
+
+    import __spark_entry__ as e
+
+    expected = {
+        "snap_pipeline": ("b05ac97f0490b945ba073259b3af64f2", 81984),
+        "snap_pipeline_webmercator": ("3791371fc602d5cbfb2426cedc1b86d7", 2763),
+        "snap_pipeline_nztm": ("28d2c51c1ee26215eb37c9ed649b85eb", 641),
+    }
+    for name, (want_hash, want_rows) in expected.items():
+        df = e.queries()[name](spark, "/root/testdata/sf0.001")
+        rows = sorted(tuple(r) for r in df.collect())
+        got = hashlib.md5(repr(rows).encode()).hexdigest()
+        assert (got, len(rows)) == (want_hash, want_rows), f"{name} output drifted"
