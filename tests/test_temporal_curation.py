@@ -304,3 +304,35 @@ def test_validate_documents_counts_planted_violations(spark):
     assert got["unknown_lang"] == 1
     assert got["n_chars_mismatch"] == 1
     assert got["null_doc_id"] == 0
+
+
+def test_validate_documents_null_semantics(spark):
+    """NULLs are counted, not skipped: NULL lang is unknown, NULL
+    n_chars is a mismatch (unless text is NULL too - that's null_text's
+    job), and NULL doc_ids never inflate the duplicate count."""
+    from texel_spark.operators.curation import validate_documents
+
+    rows = [
+        (1, "ok", None, "s", 2),        # NULL lang -> unknown_lang
+        (2, "ok", "en", "s", None),     # NULL n_chars -> mismatch
+        (3, None, "en", "s", None),     # NULL text -> null_text ONLY
+        (None, "ok", "en", "s", 2),     # NULL id -> null_doc_id, NOT duplicate
+        (5, "ok", "en", "s", 2),
+    ]
+    pdf = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r["check"]: r["n"] for r in validate_documents(pdf).collect()}
+    assert got["unknown_lang"] == 1
+    assert got["n_chars_mismatch"] == 1
+    assert got["null_text"] == 1
+    assert got["null_doc_id"] == 1
+    assert got["duplicate_doc_id"] == 0
+
+
+def test_run_curation_pipeline_bucket_mismatch_raises(spark, tmp_path):
+    from texel_spark.operators.curation import run_curation_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "o")
+    run_curation_pipeline(docs, out, shard_buckets=4, cap=10)
+    with pytest.raises(ValueError, match="shard_buckets=4"):
+        run_curation_pipeline(docs, out, shard_buckets=8, cap=10)

@@ -373,14 +373,10 @@ def quality_funnel(
     aggregate (map-side partials, 6-value shuffle), then a driver-sized
     stack() to rows.  No joins, no Python workers, no per-stage rescan.
     """
-    from .text import STOPWORDS
+    from .text import token_metric_cols
 
-    toks = F.split(F.col("text"), " ")
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    uniq = F.array_distinct(toks)
-    n_uniq = F.size(uniq)
-    top_tok = F.array_max(F.transform(uniq, lambda u: F.size(F.filter(toks, lambda x: x == u))))
+    m = token_metric_cols()
+    n_tok, n_stop, n_uniq, top_tok = m["n_tok"], m["n_stop"], m["n_uniq"], m["top_tok"]
     c1 = (n_tok >= min_tokens).cast("long")
     c2 = c1 * (n_tok <= max_tokens).cast("long")
     c3 = c2 * (n_stop * 1000 >= n_tok * stop_permille).cast("long")
@@ -479,10 +475,21 @@ def run_curation_pipeline(
     spark = documents.sparkSession
     _os.makedirs(output_dir, exist_ok=True)
     manifest_path = _os.path.join(output_dir, "manifest.json")
-    manifest = {"shards": [], "metrics": False}
+    manifest = {"shards": [], "metrics": False, "shard_buckets": shard_buckets}
     if resume and _os.path.exists(manifest_path):
         with open(manifest_path) as f:
             manifest = _json.load(f)
+        # a resumed run MUST shard identically: completed shards hold
+        # pmod(old_buckets) data, so a different count would silently
+        # duplicate or drop documents across the shard boundary
+        prev = manifest.get("shard_buckets", shard_buckets)  # legacy manifests predate the key
+        manifest["shard_buckets"] = prev
+        if prev != shard_buckets:
+            raise ValueError(
+                f"manifest at {manifest_path} was written with shard_buckets={prev}; "
+                f"resuming with {shard_buckets} would mix incompatible shardings "
+                "(delete the output dir or pass the original count)"
+            )
 
     def _save() -> None:
         tmp = manifest_path + ".tmp"
@@ -500,30 +507,34 @@ def run_curation_pipeline(
         .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(shard_buckets)).cast("int"))
         .persist()
     )
-    for b in todo:
-        (
-            curated.where(F.col("shard") == b)
-            .drop("shard")
-            .repartition("split")
-            .write.mode("overwrite")
-            .partitionBy("split")
-            .parquet(_os.path.join(output_dir, "data", f"shard={b}"))
-        )
-        manifest["shards"] = sorted(set(manifest["shards"]) | {b})
-        _save()
-        if _after_shard_hook is not None:
-            _after_shard_hook(b)
-    if not manifest.get("metrics"):
-        (
-            curated.groupBy("shard", "split", "source")
-            .agg(F.count("*").alias("n_docs"), F.sum(F.length("text")).alias("n_chars"))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(_os.path.join(output_dir, "metrics"))
-        )
-        manifest["metrics"] = True
-        _save()
-    curated.unpersist()
+    try:
+        for b in todo:
+            (
+                curated.where(F.col("shard") == b)
+                .drop("shard")
+                .repartition("split")
+                .write.mode("overwrite")
+                .partitionBy("split")
+                .parquet(_os.path.join(output_dir, "data", f"shard={b}"))
+            )
+            manifest["shards"] = sorted(set(manifest["shards"]) | {b})
+            _save()
+            if _after_shard_hook is not None:
+                _after_shard_hook(b)
+        if not manifest.get("metrics"):
+            (
+                curated.groupBy("shard", "split", "source")
+                .agg(F.count("*").alias("n_docs"), F.sum(F.length("text")).alias("n_chars"))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(_os.path.join(output_dir, "metrics"))
+            )
+            manifest["metrics"] = True
+            _save()
+    finally:
+        # unpersist on the kill path too: repeated kill/resume cycles
+        # must not accumulate cached corpora in a long-lived session
+        curated.unpersist()
     return {"shards_done": sorted(manifest["shards"]), "resumed_noop": False}
 
 
@@ -541,14 +552,24 @@ def validate_documents(documents: DataFrame) -> DataFrame:
     count(distinct)).  Integer outputs; DuckDB oracle is bit-exact.
     """
     known_langs = ("en", "de", "fr", "es", "zh")
+    # NULL handling is explicit everywhere: three-valued logic would
+    # otherwise let the MOST-malformed rows (NULL lang / NULL n_chars)
+    # sail through the gate uncounted, and NULL ids would inflate the
+    # duplicate count (count(*) includes them, countDistinct doesn't)
     agg = documents.agg(
         F.count("*").alias("n_rows"),
         F.sum(F.col("doc_id").isNull().cast("long")).alias("null_id"),
-        (F.count("*") - F.countDistinct("doc_id")).alias("dup_id"),
+        (F.count("doc_id") - F.countDistinct("doc_id")).alias("dup_id"),
         F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
-        F.sum((F.col("text") == "").cast("long")).alias("empty_text"),
-        F.sum((~F.col("lang").isin(*known_langs)).cast("long")).alias("bad_lang"),
-        F.sum((F.length("text") != F.col("n_chars")).cast("long")).alias("bad_n_chars"),
+        F.sum(F.coalesce((F.col("text") == "").cast("long"), F.lit(0))).alias("empty_text"),
+        F.sum(
+            F.coalesce((~F.col("lang").isin(*known_langs)).cast("long"), F.lit(1))
+        ).alias("bad_lang"),
+        F.sum(
+            F.when(F.col("text").isNull(), 0)  # already counted as null_text
+            .when(F.col("n_chars").isNull(), 1)
+            .otherwise((F.length("text") != F.col("n_chars")).cast("long"))
+        ).alias("bad_n_chars"),
     )
     return agg.selectExpr(
         "stack(7, 'rows', n_rows, 'null_doc_id', null_id, 'duplicate_doc_id', dup_id,"
@@ -563,11 +584,15 @@ def validate_documents_sql() -> str:
 WITH a AS (
   SELECT COUNT(*) AS n_rows,
          CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_id,
-         COUNT(*) - COUNT(DISTINCT doc_id) AS dup_id,
+         COUNT(doc_id) - COUNT(DISTINCT doc_id) AS dup_id,
          CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
          CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
-         CAST(SUM(CASE WHEN lang NOT IN ({langs}) THEN 1 ELSE 0 END) AS BIGINT) AS bad_lang,
-         CAST(SUM(CASE WHEN len(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS bad_n_chars
+         CAST(SUM(CASE WHEN lang IS NULL OR lang NOT IN ({langs}) THEN 1 ELSE 0 END)
+              AS BIGINT) AS bad_lang,
+         CAST(SUM(CASE WHEN text IS NULL THEN 0
+                       WHEN n_chars IS NULL THEN 1
+                       WHEN len(text) <> n_chars THEN 1 ELSE 0 END)
+              AS BIGINT) AS bad_n_chars
   FROM documents
 )
 SELECT 'rows' AS check, n_rows AS n FROM a

@@ -659,9 +659,15 @@ def snapshot_dedup(documents: DataFrame, old_mod: int = 3) -> DataFrame:
 
 
 def snapshot_dedup_sql(old_mod: int = 3) -> str:
+    # NOT EXISTS, not NOT IN: one NULL text in the old snapshot would
+    # NULL-poison a NOT IN and return zero rows, where Spark's left-anti
+    # join (NULL-safe: a NULL key matches nothing) keeps every new doc
     return f"""
-SELECT doc_id, md5(text) AS text_hash
-FROM documents
-WHERE doc_id % {old_mod} <> 0
-  AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % {old_mod} = 0)
+SELECT n.doc_id, md5(n.text) AS text_hash
+FROM documents n
+WHERE n.doc_id % {old_mod} <> 0
+  AND NOT EXISTS (
+    SELECT 1 FROM documents o
+    WHERE o.doc_id % {old_mod} = 0 AND md5(o.text) = md5(n.text)
+  )
 """

@@ -308,19 +308,32 @@ def modality_mix(docs: DataFrame) -> DataFrame:
     )
 
 
+_MATERIALIZED_INTERLEAVED: set[tuple[str, int]] = set()
+
+
 def materialized_interleaved(spark, n_docs: int = 400):
     """Materialize the deterministic synth interleaved corpus to the
     shared oracle scratch dir (same TEXEL_SPARK_ORACLE_SCRATCH override
     + atexit cleanup as the snap bbox oracle) and re-read it, so a
     DuckDB oracle can verify the interleaved bridge hash-exactly on the
-    identical rows."""
+    identical rows.
+
+    Written AT MOST ONCE per (path, n_docs) per process: six query
+    lambdas share this corpus, and an overwrite between a reader's
+    construction and its collect would delete the part files that
+    reader already listed (fresh UUID names every write) - besides
+    re-running the synth job 6x for byte-identical deterministic data.
+    """
     import os
 
     from ..sources.documents import synth_documents
     from .snap_tiles import BBOX_ORACLE_DIR
 
     path = os.path.join(BBOX_ORACLE_DIR, "interleaved_docs")
-    synth_documents(spark, n_docs, partitions=8).write.mode("overwrite").parquet(path)
+    key = (path, n_docs)
+    if key not in _MATERIALIZED_INTERLEAVED:
+        synth_documents(spark, n_docs, partitions=8).write.mode("overwrite").parquet(path)
+        _MATERIALIZED_INTERLEAVED.add(key)
     return spark.read.parquet(path)
 
 

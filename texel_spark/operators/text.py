@@ -13,6 +13,31 @@ from pyspark.sql import DataFrame, Window, functions as F
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "for", "on", "with")
 
 
+def token_metric_cols(col: str = "text") -> dict:
+    """Shared per-row token-metric column expressions (token count,
+    stopword count, distinct count, top-token occurrence count) - the
+    single source of truth for every operator that scores documents on
+    these (repetition_stats, curation.quality_funnel): a tokenization or
+    top-token fix here applies to all of them at once.
+
+    The top-token scan is O(n_distinct x n_tokens) per row - fine for
+    document-sized arrays; a mega-token-row corpus would switch to
+    (doc_id, token) word-count form instead.
+    """
+    toks = F.split(F.col(col), " ")
+    uniq = F.array_distinct(toks)
+    return {
+        "toks": toks,
+        "n_tok": F.size(toks),
+        "n_stop": F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))),
+        "uniq": uniq,
+        "n_uniq": F.size(uniq),
+        "top_tok": F.array_max(
+            F.transform(uniq, lambda u: F.size(F.filter(toks, lambda x: x == u)))
+        ),
+    }
+
+
 def text_stats(documents: DataFrame) -> DataFrame:
     """Per-doc token/char/stopword/punct counts + integer quality score.
 
@@ -291,11 +316,8 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     All outputs are integers (x1000 fractions) so the DuckDB oracle
     compares bit-exactly.
     """
-    toks = F.split(F.col("text"), " ")
-    n_tok = F.size(toks)
-    uniq = F.array_distinct(toks)
-    n_uniq = F.size(uniq)
-    top_tok = F.array_max(F.transform(uniq, lambda u: F.size(F.filter(toks, lambda x: x == u))))
+    m = token_metric_cols()
+    toks, n_tok, n_uniq, top_tok = m["toks"], m["n_tok"], m["n_uniq"], m["top_tok"]
     # sequence() with start > stop counts DOWN in Spark - guard short docs
     bg = F.when(
         n_tok >= 2,
@@ -599,28 +621,44 @@ def vocab_coverage(documents: DataFrame, sizes: tuple[int, ...] = (5, 10, 20, 50
 
     toks = F.explode(F.split(F.col("text"), " ")).alias("token")
     wc = documents.select(toks).groupBy("token").agg(F.count("*").alias("c"))
-    ranked = wc.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("token").asc()))
+    # rank AND totals from the same window pass: a separate wc.agg()
+    # branch would re-run the corpus scan + word-count shuffle (Spark
+    # DataFrames share no plan across branches); the unbounded windows
+    # run over the already-vocabulary-sized frame the rank needs anyway
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    totals = wc.agg(
-        F.sum("c").alias("total_tokens"), F.count("*").alias("total_types")
+    ranked = wc.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("token").asc()))
+        .alias("rnk"),
+        F.sum("c").over(w_all).alias("total_tokens"),
+        F.count("*").over(w_all).alias("total_types"),
     )
-    per_v = (
+    return (
         ranked.select(
-            F.explode(F.array(*[F.lit(v) for v in sizes])).alias("vocab_size"), "c", "rnk"
+            F.explode(F.array(*[F.lit(v) for v in sizes])).alias("vocab_size"),
+            "c",
+            "rnk",
+            "total_tokens",
         )
         .where(F.col("rnk") <= F.col("vocab_size"))
         .groupBy("vocab_size")
-        .agg(F.count("*").alias("n_types"), F.sum("c").alias("covered_tokens"))
-    )
-    return per_v.crossJoin(F.broadcast(totals)).select(
-        "vocab_size",
-        "n_types",
-        "covered_tokens",
-        "total_tokens",
-        F.floor(F.lit(1000) * F.col("covered_tokens") / F.col("total_tokens"))
-        .cast("long")
-        .alias("coverage_x1000"),
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum("c").alias("covered_tokens"),
+            F.first("total_tokens").alias("total_tokens"),
+        )
+        .select(
+            "vocab_size",
+            "n_types",
+            "covered_tokens",
+            "total_tokens",
+            F.floor(F.lit(1000) * F.col("covered_tokens") / F.col("total_tokens"))
+            .cast("long")
+            .alias("coverage_x1000"),
+        )
     )
 
 
