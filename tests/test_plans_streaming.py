@@ -689,3 +689,61 @@ def test_streaming_snapshot_dedup_parity(spark, tmp_path):
         assert got == expected
     finally:
         q.stop()
+
+
+def test_streaming_validate_documents_parity(spark, tmp_path):
+    """The validation gate converges to the batch report with the
+    corpus split across two micro-batch files (single state row must
+    merge partial conditional sums)."""
+    from texel_spark.operators.curation import validate_documents
+    from texel_spark.streaming.jobs import streaming_validate_documents
+
+    batch = spark.read.parquet(f"{SF}/documents.parquet")
+    # the streaming gate covers the six O(1)-state checks; the global
+    # DISTINCT duplicate check is batch-only by design
+    expected = {
+        tuple(r)
+        for r in validate_documents(batch, include_duplicates=False).collect()
+    }
+
+    indir = tmp_path / "docs_in"
+    batch.where("doc_id % 2 = 0").coalesce(1).write.parquet(str(indir / "a"))
+    batch.where("doc_id % 2 = 1").coalesce(1).write.parquet(str(indir / "b"))
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(indir / "*"))
+    out = streaming_validate_documents(stream)
+    assert out.isStreaming
+    q = out.writeStream.format("memory").queryName("vdoc_stream").outputMode("complete").start()
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql("SELECT * FROM vdoc_stream").collect()}
+        assert got == expected
+    finally:
+        q.stop()
+
+
+def test_streaming_tile_pyramid_parity(spark, tmp_path):
+    """Incremental pyramid counts converge to the batch rollup at every
+    zoom level, with events split across two micro-batch files."""
+    from texel_spark.operators import spatial_queries as sq
+    from texel_spark.streaming.jobs import streaming_tile_pyramid
+
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    expected = {tuple(r) for r in sq.tile_pyramid_rollup(batch, max_zoom=6).collect()}
+
+    indir = tmp_path / "ev_in"
+    batch.where("event_id % 2 = 0").coalesce(1).write.parquet(str(indir / "a"))
+    batch.where("event_id % 2 = 1").coalesce(1).write.parquet(str(indir / "b"))
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(indir / "*"))
+    out = streaming_tile_pyramid(stream, max_zoom=6)
+    assert out.isStreaming
+    q = out.writeStream.format("memory").queryName("pyr_stream").outputMode("complete").start()
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql("SELECT * FROM pyr_stream").collect()}
+        assert got == expected
+    finally:
+        q.stop()

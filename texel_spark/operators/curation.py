@@ -538,7 +538,7 @@ def run_curation_pipeline(
     return {"shards_done": sorted(manifest["shards"]), "resumed_noop": False}
 
 
-def validate_documents(documents: DataFrame) -> DataFrame:
+def validate_documents(documents: DataFrame, include_duplicates: bool = True) -> DataFrame:
     """Ingest validation gate: one row per check with its violation
     count - the report a 100 TB ingest runs BEFORE any curation stage,
     so a malformed crawl drop fails loudly instead of silently skewing
@@ -550,16 +550,21 @@ def validate_documents(documents: DataFrame) -> DataFrame:
     aggregate over a single scan (map-side partials; the duplicate-id
     check is the only distinct and rides the same pass as
     count(distinct)).  Integer outputs; DuckDB oracle is bit-exact.
+
+    ``include_duplicates=False`` drops the duplicate_doc_id row: the
+    duplicate check is a global DISTINCT (state linear in ids), which
+    streaming aggregation rightly refuses - the streaming twin runs
+    the six O(1)-state per-row checks and leaves duplicate detection
+    to the batch gate (or the dedup operators themselves).
     """
     known_langs = ("en", "de", "fr", "es", "zh")
     # NULL handling is explicit everywhere: three-valued logic would
     # otherwise let the MOST-malformed rows (NULL lang / NULL n_chars)
     # sail through the gate uncounted, and NULL ids would inflate the
     # duplicate count (count(*) includes them, countDistinct doesn't)
-    agg = documents.agg(
+    checks = [
         F.count("*").alias("n_rows"),
         F.sum(F.col("doc_id").isNull().cast("long")).alias("null_id"),
-        (F.count("doc_id") - F.countDistinct("doc_id")).alias("dup_id"),
         F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
         F.sum(F.coalesce((F.col("text") == "").cast("long"), F.lit(0))).alias("empty_text"),
         F.sum(
@@ -570,9 +575,18 @@ def validate_documents(documents: DataFrame) -> DataFrame:
             .when(F.col("n_chars").isNull(), 1)
             .otherwise((F.length("text") != F.col("n_chars")).cast("long"))
         ).alias("bad_n_chars"),
-    )
+    ]
+    if include_duplicates:
+        checks.insert(2, (F.count("doc_id") - F.countDistinct("doc_id")).alias("dup_id"))
+        agg = documents.agg(*checks)
+        return agg.selectExpr(
+            "stack(7, 'rows', n_rows, 'null_doc_id', null_id, 'duplicate_doc_id', dup_id,"
+            " 'null_text', null_text, 'empty_text', empty_text, 'unknown_lang', bad_lang,"
+            " 'n_chars_mismatch', bad_n_chars) AS (check, n)"
+        )
+    agg = documents.agg(*checks)
     return agg.selectExpr(
-        "stack(7, 'rows', n_rows, 'null_doc_id', null_id, 'duplicate_doc_id', dup_id,"
+        "stack(6, 'rows', n_rows, 'null_doc_id', null_id,"
         " 'null_text', null_text, 'empty_text', empty_text, 'unknown_lang', bad_lang,"
         " 'n_chars_mismatch', bad_n_chars) AS (check, n)"
     )

@@ -680,7 +680,32 @@ def tile_pyramid_rollup(events: DataFrame, max_zoom: int = 8, min_zoom: int = 0)
     """
     if not 0 <= min_zoom <= max_zoom:
         raise ValueError(f"need 0 <= min_zoom <= max_zoom, got {min_zoom}..{max_zoom}")
-    base = tile_assign(events, zoom=max_zoom)
+    return _pyramid_from_base(tile_assign(events, zoom=max_zoom), max_zoom, min_zoom)
+
+
+def tile_pyramid_rollup_single_agg(
+    events: DataFrame, max_zoom: int = 8, min_zoom: int = 0
+) -> DataFrame:
+    """Single-aggregation form of tile_pyramid_rollup: each POINT (not
+    each pre-aggregated base tile) explodes to its ancestors, then one
+    groupBy sums the pyramid.  Identical output; trades the batch form's
+    map-side pre-aggregation for having exactly ONE stateful operator -
+    the form a streaming query needs (chained streaming aggregations are
+    a watermark-correctness hazard Spark rejects) and the twin's state
+    stays bounded by the tile universe either way.
+    """
+    if not 0 <= min_zoom <= max_zoom:
+        raise ValueError(f"need 0 <= min_zoom <= max_zoom, got {min_zoom}..{max_zoom}")
+    ts = tile_size(max_zoom)
+    pts = points_from_events(events).select(
+        F.floor((F.col("px") - F.lit(RD_ORIGIN_X)) / F.lit(ts)).alias("tx"),
+        F.floor((F.lit(RD_ORIGIN_Y) - F.col("py")) / F.lit(ts)).alias("ty"),
+        F.lit(1).cast("long").alias("n_points"),
+    )
+    return _pyramid_from_base(pts, max_zoom, min_zoom)
+
+
+def _pyramid_from_base(base: DataFrame, max_zoom: int, min_zoom: int) -> DataFrame:
     ancestors = F.array(
         *[
             F.struct(

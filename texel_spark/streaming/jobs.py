@@ -438,3 +438,39 @@ def streaming_snapshot_dedup(docs_stream: DataFrame, old_docs: DataFrame) -> Dat
     old = old_docs.select(F.md5("text").alias("h"))
     new = docs_stream.select("doc_id", F.md5("text").alias("h"))
     return new.join(old, "h", "left_anti").select("doc_id", F.col("h").alias("text_hash"))
+
+
+def streaming_validate_documents(docs_stream: DataFrame) -> DataFrame:
+    """Streaming twin of operators.curation.validate_documents: the
+    ingest validation gate as a LIVE health monitor - one global
+    conditional-sum aggregate (complete mode, a single 6-value state
+    row) re-emitting the violation report after every landed file, so a
+    malformed crawl drop is visible the micro-batch it arrives instead
+    of after a 100 TB batch pass.  The duplicate_doc_id check is
+    batch-only by design: it is a global DISTINCT (state linear in
+    ids), which streaming aggregation rightly refuses - the six
+    remaining checks are per-row conditional sums with O(1) state.
+    Parity asserted with the corpus split across micro-batch files
+    (partial sums must merge).
+    """
+    from ..operators.curation import validate_documents
+
+    return validate_documents(docs_stream, include_duplicates=False)
+
+
+def streaming_tile_pyramid(events_stream: DataFrame, max_zoom: int = 8, min_zoom: int = 0) -> DataFrame:
+    """Streaming twin of operators.spatial_queries.tile_pyramid_rollup:
+    incremental overview-tile counts at EVERY zoom level from one
+    update-mode aggregation (state bounded by the tile universe,
+    sum of 4^z over the pyramid, not by event count) - the live form of
+    overview building, where each micro-batch of points bumps its
+    ancestors at all levels in the same shuffle.  Uses the single-
+    aggregation form (per-point ancestor explode): the batch rollup's
+    base pre-aggregation would be a SECOND stateful operator, which
+    streaming rejects as a watermark-correctness hazard.
+    """
+    from ..operators import spatial_queries as sq
+
+    return sq.tile_pyramid_rollup_single_agg(
+        events_stream, max_zoom=max_zoom, min_zoom=min_zoom
+    )
