@@ -143,6 +143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vectorize_raster": lambda s, d: sq.vectorize_raster(_t(s, d, "nation")),
         "topk_per_tile": lambda s, d: sq.topk_per_tile(_t(s, d, "events")),
         "tile_pyramid_rollup": lambda s, d: sq.tile_pyramid_rollup(_t(s, d, "events")),
+        "tile_diff": lambda s, d: sq.tile_diff(
+            _t(s, d, "events").where("event_id % 10 <> 0"), _t(s, d, "events")
+        ),
         "hilbert_tile_assign": _hilbert_tile_assign,
         # flagship kernel pipeline (oracle = reference golden tests)
         "snap_pipeline": snap_pipeline,
@@ -294,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
         "vectorize_raster": sq.vectorize_raster_sql(),
         "topk_per_tile": sq.topk_per_tile_sql(),
         "tile_pyramid_rollup": sq.tile_pyramid_rollup_sql(),
+        "tile_diff": sq.tile_diff_sql(),
         "dedup_exact": dedup.EXACT_DUPLICATES_SQL,
         "dedup_fingerprint": dedup.FINGERPRINT_DUPLICATES_SQL,
         "ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),

@@ -115,6 +115,7 @@ def main() -> None:
     run("snapshot_dedup", dedup.snapshot_dedup(t("documents")))
     run("quality_funnel", curation.quality_funnel(t("documents")))
     run("tile_pyramid_rollup", sq.tile_pyramid_rollup(t("events")))
+    run("tile_diff", sq.tile_diff(t("events").where("event_id % 10 <> 0"), t("events")))
     run("vocab_coverage", text.vocab_coverage(t("documents")))
     run("sliding_chunks", text.sliding_chunks(t("documents")))
     run("langid_ngram", text.langid_ngram(t("documents")))

@@ -1507,3 +1507,29 @@ def test_pipeline_output_hashes_pinned(spark):
         rows = sorted(tuple(r) for r in df.collect())
         got = hashlib.md5(repr(rows).encode()).hexdigest()
         assert (got, len(rows)) == (want_hash, want_rows), f"{name} output drifted"
+
+
+def test_tile_diff_statuses(spark):
+    """Diffing two event generations yields only touched tiles with
+    correct added/changed statuses, consistent with the two underlying
+    tile indexes."""
+    from texel_spark.operators import spatial_queries as sq
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    old_ev = events.where("event_id % 10 <> 0")
+    out = sq.tile_diff(old_ev, events, zoom=8).collect()
+    old_idx = {(r["tx"], r["ty"]): r["n_points"] for r in sq.tile_assign(old_ev, zoom=8).collect()}
+    new_idx = {(r["tx"], r["ty"]): r["n_points"] for r in sq.tile_assign(events, zoom=8).collect()}
+    # old events are a subset: nothing can be 'removed', and every tile
+    # whose count differs must be reported exactly once
+    expected = {}
+    for k, n_new in new_idx.items():
+        n_old = old_idx.get(k)
+        if n_old is None:
+            expected[k] = ("added", 0, n_new)
+        elif n_old != n_new:
+            expected[k] = ("changed", n_old, n_new)
+    got = {(r["tx"], r["ty"]): (r["status"], r["n_old"], r["n_new"]) for r in out}
+    assert got == expected
+    assert "removed" not in {v[0] for v in got.values()}
+    assert expected, "fixture must touch some tiles"

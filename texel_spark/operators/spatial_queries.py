@@ -738,3 +738,71 @@ SELECT lv.zoom,
 FROM pts CROSS JOIN lv
 GROUP BY 1, 2, 3
 """
+
+
+def tile_diff(old_events: DataFrame, new_events: DataFrame, zoom: int = 8) -> DataFrame:
+    """Incremental tile-update detection: diff the tile index computed
+    from two event generations and emit only tiles whose content
+    changed - the operation that turns planet-scale vector-tile
+    maintenance from "regenerate everything" (the reference's model:
+    one full run per release) into "rewrite the touched tiles".
+
+    Output: (zoom, tx, ty, status, n_old, n_new) for status in
+    added / removed / changed; unchanged tiles (the overwhelming
+    majority between crawls) are filtered out before any sink.
+
+    Scale shape: two map-side-combined tile aggregations (each shuffle
+    carries one row per DISTINCT tile, not per event) and ONE full
+    outer join on the uniform (zoom, tx, ty) key - no skew, no
+    broadcast needed, and the join input is tile-universe-sized
+    (<= 4^zoom rows/side) regardless of event count.
+    """
+    old_t = tile_assign(old_events, zoom=zoom).withColumnRenamed("n_points", "n_old")
+    new_t = tile_assign(new_events, zoom=zoom).withColumnRenamed("n_points", "n_new")
+    j = old_t.join(new_t, ["zoom", "tx", "ty"], "full_outer")
+    status = (
+        F.when(F.col("n_old").isNull(), "added")
+        .when(F.col("n_new").isNull(), "removed")
+        .when(F.col("n_old") != F.col("n_new"), "changed")
+    )
+    return (
+        j.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select(
+            "zoom",
+            "tx",
+            "ty",
+            "status",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+
+
+def tile_diff_sql(zoom: int = 8, old_filter: str = "event_id % 10 <> 0") -> str:
+    ts = tile_size(zoom)
+    tile = (
+        f"CAST(FLOOR((px - ({RD_ORIGIN_X})) / {ts!r}) AS BIGINT) AS tx, "
+        f"CAST(FLOOR(({RD_ORIGIN_Y} - py) / {ts!r}) AS BIGINT) AS ty"
+    )
+    return f"""
+WITH pts AS ({POINTS_FROM_EVENTS_SQL}),
+old_t AS (
+  SELECT {zoom} AS zoom, {tile}, COUNT(*) AS n_old
+  FROM pts WHERE {old_filter} GROUP BY 1, 2, 3
+), new_t AS (
+  SELECT {zoom} AS zoom, {tile}, COUNT(*) AS n_new
+  FROM pts GROUP BY 1, 2, 3
+)
+SELECT COALESCE(o.zoom, n.zoom) AS zoom,
+       COALESCE(o.tx, n.tx) AS tx,
+       COALESCE(o.ty, n.ty) AS ty,
+       CASE WHEN o.tx IS NULL THEN 'added'
+            WHEN n.tx IS NULL THEN 'removed'
+            WHEN o.n_old <> n.n_new THEN 'changed' END AS status,
+       COALESCE(o.n_old, 0) AS n_old,
+       COALESCE(n.n_new, 0) AS n_new
+FROM old_t o FULL OUTER JOIN new_t n
+  ON o.zoom = n.zoom AND o.tx = n.tx AND o.ty = n.ty
+WHERE (o.tx IS NULL OR n.tx IS NULL OR o.n_old <> n.n_new)
+"""
