@@ -143,6 +143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vectorize_raster": lambda s, d: sq.vectorize_raster(_t(s, d, "nation")),
         "topk_per_tile": lambda s, d: sq.topk_per_tile(_t(s, d, "events")),
         "tile_pyramid_rollup": lambda s, d: sq.tile_pyramid_rollup(_t(s, d, "events")),
+        "tile_pyramid_single_agg": lambda s, d: sq.tile_pyramid_rollup_single_agg(
+            _t(s, d, "events")
+        ),
         "tile_diff": lambda s, d: sq.tile_diff(
             _t(s, d, "events").where("event_id % 10 <> 0"), _t(s, d, "events")
         ),
@@ -297,6 +300,9 @@ def oracle_sql() -> dict[str, str]:
         "vectorize_raster": sq.vectorize_raster_sql(),
         "topk_per_tile": sq.topk_per_tile_sql(),
         "tile_pyramid_rollup": sq.tile_pyramid_rollup_sql(),
+        # identical output to tile_pyramid_rollup (proven by sharing its oracle):
+        # the single-stateful-operator form the streaming twin uses
+        "tile_pyramid_single_agg": sq.tile_pyramid_rollup_sql(),
         "tile_diff": sq.tile_diff_sql(),
         "dedup_exact": dedup.EXACT_DUPLICATES_SQL,
         "dedup_fingerprint": dedup.FINGERPRINT_DUPLICATES_SQL,
