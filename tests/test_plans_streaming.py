@@ -201,12 +201,48 @@ def test_dedup_and_text_operators_are_pure_jvm(spark):
 def test_minhash_shuffles_are_signature_sized(spark):
     """The signature stage shuffles one aggregated row per doc (map-side
     combine), never the exploded shingles: groupBy(doc_id) + the band
-    self-join are the only exchanges."""
+    self-join are the only exchanges.  Runs on an in-memory frame so the
+    unsplittable-input guard (operators.spread) stays out of the plan -
+    its round-robin exchange is exercised by test_spread_input_guard."""
     from texel_spark.operators.dedup import minhash_lsh_candidates
-    from texel_spark.plans.checks import assert_max_shuffles
+    from texel_spark.plans.checks import assert_max_shuffles, formatted_plan
 
-    docs = spark.read.parquet(f"{SF}/documents.parquet")
-    assert_max_shuffles(minhash_lsh_candidates(docs), 5)
+    raw = spark.read.parquet(f"{SF}/documents.parquet")
+    docs = raw.repartition(8)  # pre-spread: the guard no-ops (idempotence)
+    df = minhash_lsh_candidates(docs)
+    # 4 exchange nodes (count_exchanges sees each twice in the formatted
+    # plan): the input repartition and the signature groupBy(doc_id),
+    # each printed once per self-join side pre-AQE and reused at runtime
+    assert_max_shuffles(df, 8)
+    # the narrowness claim itself: no hash exchange ever carries shingles
+    # or raw text - only doc ids, band keys and signature columns (the
+    # formatted plan prints each exchange's Input [...] on the next line)
+    lines = formatted_plan(df).splitlines()
+    for i, ln in enumerate(lines):
+        if ln.startswith("(") and ") Exchange" in ln and "hashpartitioning" in lines[i + 2]:
+            inp = lines[i + 1]
+            assert "shingle" not in inp and "text#" not in inp, f"{ln}\n{inp}"
+
+
+def test_spread_input_guard(spark):
+    """The unsplittable-input guard fires exactly once on a single-row-
+    group parquet scan (the testdata layout) and never on an input that
+    already repartitions or has no files."""
+    from pyspark.sql import functions as F
+
+    from texel_spark.operators.spread import spread_input
+
+    raw = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = spread_input(raw)._jdf.queryExecution().analyzed().toString()
+    assert "Repartition" in plan, f"guard did not fire on 1-row-group parquet:\n{plan}"
+    # idempotent: composing operators that each call spread_input must
+    # not stack round-robin exchanges
+    twice = spread_input(spread_input(raw).where(F.col("doc_id") >= 0))
+    plan2 = twice._jdf.queryExecution().analyzed().toString()
+    assert plan2.count("Repartition") == 1, plan2
+    # in-memory input: nothing to spread
+    mem = spark.createDataFrame(raw.limit(10).collect(), raw.schema)
+    assert "Repartition" not in spread_input(mem)._jdf.queryExecution().analyzed().toString()
 
 
 def test_streaming_view_click_join_drops_late_clicks(spark, tmp_path):

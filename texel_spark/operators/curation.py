@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .spread import spread_input
+
 _DEFAULT_WEIGHTS: list[tuple[str, int]] = [("train", 90), ("val", 5), ("test", 5)]
 
 
@@ -184,7 +186,7 @@ def curation_pipeline(
     ws = F.size(F.split(F.col("text"), " "))
     bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0))
     bpt = F.floor(F.lit(100) * F.length("text") / F.greatest(bpe, F.lit(1)))
-    docs = documents.where((ws >= min_ws_tokens) & (bpt >= bpt_lo) & (bpt <= bpt_hi))
+    docs = spread_input(documents).where((ws >= min_ws_tokens) & (bpt >= bpt_lo) & (bpt <= bpt_hi))
     comp = near_dup_components(docs)
     canon = docs.join(comp.where(F.col("is_canonical") == 1).select("doc_id"), "doc_id")
     capped = per_source_cap(canon, cap)
@@ -382,7 +384,7 @@ def quality_funnel(
     c3 = c2 * (n_stop * 1000 >= n_tok * stop_permille).cast("long")
     c4 = c3 * ((n_tok - n_uniq) * 1000 <= n_tok * dup_permille).cast("long")
     c5 = c4 * (top_tok * 1000 <= n_tok * top_permille).cast("long")
-    agg = documents.agg(
+    agg = spread_input(documents).agg(
         F.count("*").alias("n0"),
         F.sum(c1).alias("n1"),
         F.sum(c2).alias("n2"),

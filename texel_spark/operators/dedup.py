@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .spread import spread_input
+
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
     """Exact dedup survivor table: one row per content hash with the kept
@@ -71,7 +73,7 @@ def ngram_jaccard_pairs(
     # inverted index as ONE groupBy (posting list per shingle), pairs
     # generated JVM-side inside each bounded posting list - cheaper than
     # a self-join shuffle, and the stop-shingle cap bounds the fan-out
-    sh = _shingles(documents, n)
+    sh = _shingles(spread_input(documents.select("doc_id", "text")), n)
     grouped = sh.groupBy("shingle").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ds"), F.count("*").alias("df")
     )
@@ -174,6 +176,7 @@ def minhash_lsh_candidates(
 
 def _minhash_signatures(documents: DataFrame, n: int, n_perm: int) -> DataFrame:
     """(doc_id, sig array<long>) - the shared signature stage."""
+    documents = spread_input(documents.select("doc_id", "text"))
     a, b = _minhash_perms(n_perm)
     toks = F.split(F.col("text"), " ")
     sh = F.array_distinct(
@@ -354,7 +357,9 @@ def _simhash_votes(documents: DataFrame) -> DataFrame:
     tok = F.explode(F.split(F.col("text"), " ")).alias("token")
     hlo = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
     hhi = F.conv(F.substring(F.md5(F.col("token")), 9, 8), 16, 10).cast("long")
-    h = documents.select("doc_id", tok).select("doc_id", hlo.alias("hlo"), hhi.alias("hhi"))
+    h = spread_input(documents.select("doc_id", "text")).select("doc_id", tok).select(
+        "doc_id", hlo.alias("hlo"), hhi.alias("hhi")
+    )
     votes = [
         F.sum(F.shiftright(col, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{base + i}")
         for base, col in ((0, F.col("hlo")), (32, F.col("hhi")))
@@ -520,22 +525,23 @@ def decontaminate(documents: DataFrame, n: int = 5, eval_mod: int = 50) -> DataF
     pipelines threshold on.
     """
     hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
-    sh = _shingles(documents, n).withColumn("__eval", (hv % eval_mod) == 0)
+    sh = _shingles(spread_input(documents.select("doc_id", "text")), n).withColumn(
+        "__eval", (hv % eval_mod) == 0
+    )
     eval_ng = sh.where(F.col("__eval")).select("shingle").distinct()
     train = sh.where(~F.col("__eval")).select("doc_id", "shingle")
-    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    matched = (
-        train.join(F.broadcast(eval_ng), "shingle", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
+    # ONE aggregate over ONE pass of the train shingles: the broadcast
+    # LEFT join marks eval hits in-line and count("__hit") (nulls
+    # skipped) replaces the former second scan + sizes-x-matched join -
+    # the train corpus is shingled once instead of twice (guide 2.4)
+    flagged = train.join(
+        F.broadcast(eval_ng.withColumn("__hit", F.lit(1))), "shingle", "left"
     )
-    return sizes.join(matched, "doc_id", "left").select(
-        "doc_id",
-        "n_shingles",
-        F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
-        F.floor(F.lit(1000) * F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n_shingles"))
-        .cast("long")
-        .alias("contam_x1000"),
+    n_shared = F.count("__hit")
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        n_shared.cast("long").alias("n_shared"),
+        F.floor(F.lit(1000) * n_shared / F.count("*")).cast("long").alias("contam_x1000"),
     )
 
 

@@ -127,7 +127,9 @@ def ivf_cosine_topk(
     bench.py); the equi-join on cell replaces the cross join, so cost
     drops from O(Q x N) to O(Q x (1 + n_bits) x N / 2^n_bits).
     """
-    emb = embeddings.select("vec_id", _as_double("embedding").alias("v")).withColumn(
+    from .spread import spread_input
+
+    emb = spread_input(embeddings).select("vec_id", _as_double("embedding").alias("v")).withColumn(
         "cell", _grid_cell(F.col("v"), n_bits)
     )
     queries = emb.where(F.col("vec_id") < n_queries).select(

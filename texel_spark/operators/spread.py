@@ -1,0 +1,64 @@
+"""Unsplittable-input guard (spark_optimization_guide section 2.5).
+
+Parquet scans cannot split a row group: a table written as one file with
+one row group (the driver's testdata layout) yields exactly ONE non-empty
+scan task no matter how many splits `spark.sql.files.maxPartitionBytes` /
+`minPartitionNum` plan - so every map-side stage fused into that scan
+(shingling, hashing, partial aggregation) runs single-threaded on a
+32-core session.  The guide's fix for unsplittable input is to
+"repartition immediately after the read"; `spread_input` does that, but
+ONLY after probing that the scan is actually starved:
+
+* many input files (>= session parallelism) -> splittable, no-op;
+* local parquet footers report >= parallelism row groups -> no-op;
+* non-file inputs or unreadable/remote footers -> no-op (fail open: a
+  wrong repartition at 100 TB costs a full-corpus shuffle, a missed one
+  costs nothing on well-laid-out data);
+* otherwise round-robin repartition to parallelism x `multiplier`
+  (2 waves for straggler smoothing).
+
+At production scale inputs arrive as thousands of multi-row-group files
+and the probe short-circuits on the file count without touching any
+footer, so this guard is free exactly where it is unnecessary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def spread_input(df: DataFrame, multiplier: int = 2) -> DataFrame:
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        # idempotence: a frame that already repartitions (e.g. an operator
+        # composing another operator that spread its own input) must not
+        # pay a second round-robin exchange
+        if "Repartition" in df._jdf.queryExecution().analyzed().toString():
+            return df
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= target:
+        return df
+    row_groups = 0
+    try:
+        import pyarrow.parquet as pq
+
+        for f in files:
+            if f.startswith("file:"):
+                path = f.split(":", 1)[1]
+            elif ":" in f.split("/", 1)[0]:
+                return df  # remote scheme: cannot probe footers cheaply
+            else:
+                path = f
+            if not os.path.exists(path) or not path.endswith(".parquet"):
+                return df
+            row_groups += pq.ParquetFile(path).num_row_groups
+            if row_groups >= target:
+                return df
+    except Exception:
+        return df
+    return df.repartition(target * multiplier)

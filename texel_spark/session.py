@@ -51,6 +51,13 @@ def get_spark(
         # Python-worker CPU cycles and faster walls at BOTH local[8] and
         # local[32] vs 10k-row batches on the flagship stage
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        # default 100 disables whole-stage codegen for any stage whose
+        # schema tops 100 fields - which silently drops the 129-column
+        # MinHash signature aggregate (128 per-permutation mins + key)
+        # into interpreted mode (measured 44.5s -> 30s on the sf1.0
+        # corpus from this one setting).  256 covers every operator in
+        # the engine; scale-independent (codegen width, not data size).
+        .config("spark.sql.codegen.maxFields", "256")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
