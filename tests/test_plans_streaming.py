@@ -210,10 +210,12 @@ def test_minhash_shuffles_are_signature_sized(spark):
     raw = spark.read.parquet(f"{SF}/documents.parquet")
     docs = raw.repartition(8)  # pre-spread: the guard no-ops (idempotence)
     df = minhash_lsh_candidates(docs)
-    # 4 exchange nodes (count_exchanges sees each twice in the formatted
-    # plan): the input repartition and the signature groupBy(doc_id),
-    # each printed once per self-join side pre-AQE and reused at runtime
-    assert_max_shuffles(df, 8)
+    # 7 exchange nodes (count_exchanges sees each twice in the formatted
+    # plan): input repartition / signature groupBy(doc_id) / band-bucket
+    # shuffled-hash join side, each printed once per self-join side
+    # pre-AQE but computed ONCE at runtime (ReusedExchange), plus the
+    # final pair distinct - i.e. 4 runtime shuffles, none carrying text
+    assert_max_shuffles(df, 14)
     # the narrowness claim itself: no hash exchange ever carries shingles
     # or raw text - only doc ids, band keys and signature columns (the
     # formatted plan prints each exchange's Input [...] on the next line)

