@@ -1539,10 +1539,10 @@ def test_vocab_rank_two_level_parity(spark):
     """The size-gated bucketed (two-level) vocabulary rank and the single
     bounded window produce byte-identical results - the gate is a plan
     choice, never a semantics choice."""
-    from texel_spark.operators.text import bm25_topk, vocab_coverage
+    from texel_spark.operators.text import bm25_topk, tfidf_top_terms, vocab_coverage
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    for fn, kw in ((vocab_coverage, {}), (bm25_topk, {})):
+    for fn, kw in ((vocab_coverage, {}), (bm25_topk, {}), (tfidf_top_terms, {})):
         a = sorted(map(tuple, fn(docs, two_level=False, **kw).collect()))
         b = sorted(map(tuple, fn(docs, two_level=True, **kw).collect()))
         assert a == b, f"{fn.__name__} two-level mismatch"

@@ -417,7 +417,7 @@ FROM b
 """
 
 
-def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+def tfidf_top_terms(documents: DataFrame, k: int = 5, two_level: bool | None = None) -> DataFrame:
     """Top-k characteristic terms per document by an integer-exact
     tf-idf surrogate: score = tf * floor(1000 * N / df).
 
@@ -442,10 +442,22 @@ def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
     )
     tf = dt.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     # df = distinct docs per term = rows per term of tf (tf is already
-    # one row per (doc, term)): derives from tf's exchange instead of a
-    # second full explode + distinct shuffle of the corpus (guide 2.4 -
-    # AQE reuses the (doc_id, term) shuffle stage across both branches)
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # one row per (doc, term)).  Large corpora derive it from tf's
+    # exchange instead of a second full explode + CORPUS-sized distinct
+    # shuffle (guide 2.4 - AQE reuses the (doc_id, term) shuffle across
+    # both branches); small corpora keep the independent distinct branch,
+    # which materializes concurrently instead of serializing behind the
+    # tf exchange.  Identical results either way (size-gated plan choice,
+    # same helper as the vocabulary rank forms).
+    if _use_two_level(documents, two_level):
+        df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    else:
+        df_ = (
+            documents.select("doc_id", F.explode(toks).alias("term"))
+            .distinct()
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+        )
     n_docs = documents.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(df_, "term")
@@ -511,10 +523,13 @@ def unigram_quality(documents: DataFrame) -> DataFrame:
     aggregates + one equi-join, the same plan family as tfidf_top_terms.
     The corpus-total scalar joins as a broadcast single row.
     """
+    # NO spread_input here: the unigram count collapses to a ~vocabulary-
+    # sized hash map during map-side partial aggregation, so spreading an
+    # unsplittable scan multiplies the partial-agg shuffle output by the
+    # partition count (64 x vocab rows vs vocab rows) for per-row work
+    # that is just a split+explode - measured net loss at every SF
     toks = F.split(F.col("text"), " ")
-    dt = spread_input(documents.select("doc_id", "text")).select(
-        "doc_id", F.explode(toks).alias("term")
-    )
+    dt = documents.select("doc_id", F.explode(toks).alias("term"))
     cnt = dt.groupBy("term").agg(F.count("*").alias("cnt"))
     # corpus total = sum over the vocabulary-sized count table, not a
     # third full explode of the corpus
@@ -594,16 +609,31 @@ def bm25_topk(
         "doc_id", F.explode(toks).alias("term")
     )
     tf = dt.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    # dl / df / cnt / t_tot all derive from tf (dl = sum of tf per doc,
-    # df = rows per term, cnt = sum of tf per term, t_tot = sum of all
-    # tf): ONE corpus explode + one (doc_id, term) shuffle feeds every
-    # branch via AQE stage reuse, instead of four separate explodes
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # df always derives from tf (df = rows per term of the already-
+    # distinct (doc, term) table): this removes the CORPUS-sized
+    # dt.distinct() shuffle, the one derivation that matters at 100 TB.
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    cnt = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
-    totals = tf.agg(F.sum("tf").alias("t_tot")).crossJoin(
-        documents.agg(F.countDistinct("doc_id").alias("n_docs"))
-    )
+    if _use_two_level(documents, two_level):
+        # large corpus: dl / cnt / t_tot also derive from tf, so ONE
+        # corpus explode + one (doc, term) shuffle feeds every branch
+        # (AQE stage reuse) instead of four separate corpus passes
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        cnt = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+        totals = tf.agg(F.sum("tf").alias("t_tot")).crossJoin(
+            documents.agg(F.countDistinct("doc_id").alias("n_docs"))
+        )
+    else:
+        # small corpus: the same values from independent map-side-
+        # combined passes over an unspread explode - their shuffles are
+        # doc-/vocab-sized and the branches materialize CONCURRENTLY
+        # instead of serializing behind the tf exchange (measured ~1 s
+        # of stage latency on the sandbox corpus); identical results
+        dt0 = documents.select("doc_id", F.explode(toks).alias("term"))
+        dl = dt0.groupBy("doc_id").agg(F.count("*").alias("dl"))
+        cnt = dt0.groupBy("term").agg(F.count("*").alias("cnt"))
+        totals = dt0.agg(F.count("*").alias("t_tot")).crossJoin(
+            documents.agg(F.countDistinct("doc_id").alias("n_docs"))
+        )
     # two-level rank (scale-safe): per-bucket top-(skip_top + n_q) heads
     # first, global window over the bounded 64 x 15 survivor set second.
     # Identical selection: every term with global rank r <= skip_top+n_q
@@ -712,10 +742,11 @@ def vocab_coverage(
     """
     from pyspark.sql import Window
 
+    # no spread_input: same low-cardinality-aggregate reasoning as
+    # unigram_quality - the word count collapses map-side, spreading the
+    # scan only multiplies partial-agg shuffle rows
     toks = F.explode(F.split(F.col("text"), " ")).alias("token")
-    wc = spread_input(documents.select("text")).select(toks).groupBy("token").agg(
-        F.count("*").alias("c")
-    )
+    wc = documents.select(toks).groupBy("token").agg(F.count("*").alias("c"))
     # two-level rank (scale-safe): per-bucket top-max(sizes) heads first,
     # then a global window over the BOUNDED 64 x max(sizes) survivor set.
     # Membership and rank values for rnk <= max(sizes) are identical to a
