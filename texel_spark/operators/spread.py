@@ -71,6 +71,7 @@ def spread_input(df: DataFrame, multiplier: int = 2) -> DataFrame:
     if not files or len(files) >= target:
         return df
     row_groups = 0
+    total_bytes = 0
     try:
         import pyarrow.parquet as pq
 
@@ -83,9 +84,14 @@ def spread_input(df: DataFrame, multiplier: int = 2) -> DataFrame:
                 path = f
             if not os.path.exists(path) or not path.endswith(".parquet"):
                 return df
+            total_bytes += os.path.getsize(path)
             row_groups += pq.ParquetFile(path).num_row_groups
             if row_groups >= target:
                 return df
     except Exception:
         return df
-    return df.repartition(target * multiplier)
+    # partition count scales with DATA (>=64 KiB of compressed input per
+    # partition), capped at 2 waves of the session's cores - a tiny table
+    # gets a few real partitions instead of cores x 2 near-empty ones
+    n = max(8, min(target * multiplier, (total_bytes >> 16) + 1))
+    return df.repartition(n)
