@@ -523,17 +523,24 @@ def unigram_quality(documents: DataFrame) -> DataFrame:
     aggregates + one equi-join, the same plan family as tfidf_top_terms.
     The corpus-total scalar joins as a broadcast single row.
     """
-    # NO spread_input here: the unigram count collapses to a ~vocabulary-
-    # sized hash map during map-side partial aggregation, so spreading an
-    # unsplittable scan multiplies the partial-agg shuffle output by the
-    # partition count (64 x vocab rows vs vocab rows) for per-row work
-    # that is just a split+explode - measured net loss at every SF
+    # two explode subtrees on purpose: the unigram COUNT collapses to a
+    # ~vocabulary-sized hash map during map-side partial aggregation, so
+    # spreading its unsplittable scan would only multiply partial-agg
+    # shuffle output by the partition count - it stays unspread; the
+    # per-doc PROBE side does real per-row work (a join probe per token)
+    # and is spread, or a single scan task would run every probe
     toks = F.split(F.col("text"), " ")
-    dt = documents.select("doc_id", F.explode(toks).alias("term"))
-    cnt = dt.groupBy("term").agg(F.count("*").alias("cnt"))
+    cnt = (
+        documents.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
     # corpus total = sum over the vocabulary-sized count table, not a
     # third full explode of the corpus
     totals = cnt.agg(F.sum("cnt").alias("total_tokens"))
+    dt = spread_input(documents.select("doc_id", "text")).select(
+        "doc_id", F.explode(toks).alias("term")
+    )
     per_doc = (
         dt.join(cnt, "term")
         .groupBy("doc_id")
