@@ -14,14 +14,17 @@ from .spread import input_bytes, spread_input
 
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "for", "on", "with")
 
-# Above this input size, vocabulary rank windows switch from one bounded
-# global window (cheapest when the vocabulary is small) to the bucketed
-# two-level form (per-bucket heads, then a global window over the
-# bounded survivor set) - a cost-based plan choice with IDENTICAL
-# results either way, exactly like Spark's own size-gated broadcast
-# decision.  256 MiB of documents is far past where the single window's
-# task could hold a web-scale vocabulary.
-_TWO_LEVEL_RANK_BYTES = 256 * 1024 * 1024
+# Above this input size, the word-count family switches to its
+# scale shapes: bucketed two-level rank windows (per-bucket heads, then
+# a global window over the bounded survivor set) and tf-derived
+# dl/cnt/t_tot branches (one corpus explode feeds everything) instead
+# of independent single-task passes.  A cost-based plan choice with
+# IDENTICAL results either way, exactly like Spark's own size-gated
+# broadcast decision; 16 MiB is the measured crossover on this host
+# (small-mode's concurrent unspread branches win below it, the
+# one-explode serial chain wins above - A/B at 5.9 MB and 18 MB in
+# OPTIMIZATION_r06.md).
+_TWO_LEVEL_RANK_BYTES = 16 * 1024 * 1024
 
 
 def _use_two_level(documents, two_level: bool | None) -> bool:
