@@ -14,8 +14,9 @@ ONLY after probing that the scan is actually starved:
 * non-file inputs or unreadable/remote footers -> no-op (fail open: a
   wrong repartition at 100 TB costs a full-corpus shuffle, a missed one
   costs nothing on well-laid-out data);
-* otherwise round-robin repartition to parallelism x `multiplier`
-  (2 waves for straggler smoothing).
+* otherwise round-robin repartition, sized by the data (>= 64 KiB of
+  compressed input per partition) and capped at parallelism x
+  `multiplier` (2 waves for straggler smoothing).
 
 At production scale inputs arrive as thousands of multi-row-group files
 and the probe short-circuits on the file count without touching any
